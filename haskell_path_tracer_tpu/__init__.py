@@ -1,0 +1,38 @@
+"""haskell_path_tracer_tpu — a TPU-native differentiable path tracer.
+
+A from-scratch JAX / XLA / Pallas reimagining of the capabilities of
+`robbert-vdh/haskell-path-tracer` (surveyed in /root/repo/SURVEY.md): a
+progressive Monte-Carlo path tracer with
+
+  * an inline megakernel integrator (fused `lax.fori_loop` bounce loop) and
+    a wavefront integrator (fixed-capacity ray queues with stream
+    compaction) — the reference's `Inline` / `Streams` algorithm pair;
+  * per-pixel SFC32 RNG threading with periodic reseeding;
+  * progressive accumulation with camera-motion invalidation;
+  * differentiable rendering (gradients w.r.t. material / emission /
+    geometry parameters) for inverse rendering;
+  * SPMD sharding of image tiles and sample batches over a TPU device mesh.
+"""
+
+from .models.objects import (
+    Accumulator,
+    Camera,
+    Materials,
+    Planes,
+    Rays,
+    Scene,
+    Spheres,
+    BRDF_MATTE,
+    BRDF_GLOSSY,
+    BRDF_DIELECTRIC,
+)
+from .models.world import initial_camera, main_scene
+from .models.camera import primary_rays
+from .render.integrator import (
+    make_accumulator,
+    render_batch_inline,
+    render_sample_inline,
+    trace_inline,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,76 @@
+"""Stream compaction for fixed-capacity ray queues.
+
+The TPU-native replacement for Accelerate's `expand` combinator — the
+load-bearing primitive of the reference's Streams algorithm
+(/root/reference/src/Scene/Trace.hs:99-125, 284-294) and the thing its GPU
+backend could not handle (Trace.hs:280-283).  XLA has no dynamic-shape
+flat-map, so the dynamic ray population is maintained *positionally*: a
+stable partition permutation (live lanes first, relative order preserved)
+computed from a prefix sum of the live mask.
+
+Two implementations:
+
+  * `compact_queue` — portable XLA path: a stable key sort on the inverted
+    live mask.  XLA lowers this to its TPU sort; fine up to ~1M lanes.
+  * `compact_queue_pallas` — a Pallas TPU kernel (see
+    `ops/pallas_kernels.py`) that computes the destination index with a
+    tiled exclusive prefix-sum and scatters via async DMA, skipping the
+    full sort.  Used on TPU for large queues.
+
+Both return the permuted SoA tuple plus the permuted mask; the live count
+is `sum(mask)` (tracked separately by the caller).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def compaction_permutation(live: jnp.ndarray) -> jnp.ndarray:
+    """Stable partition permutation: indices of live lanes (in order), then
+    dead lanes (in order).  `live` is bool [Q]."""
+    # Stable argsort of (not live): False (live) sorts first, ties keep
+    # original order.
+    return jnp.argsort(~live, stable=True)
+
+
+def compact_queue(
+    arrays: Sequence[jnp.ndarray], live: jnp.ndarray
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """Compact every SoA array so live lanes occupy the queue front.
+
+    Returns (permuted arrays, permuted live mask).
+    """
+    perm = compaction_permutation(live)
+    out = tuple(a[perm] for a in arrays)
+    return out, live[perm]
+
+
+def enqueue(
+    queue: Sequence[jnp.ndarray],
+    count: jnp.ndarray,
+    items: Sequence[jnp.ndarray],
+    item_mask: jnp.ndarray,
+):
+    """Append masked items after the queue's first `count` live slots.
+
+    The ray-splitting primitive: child rays (e.g. the second branch of a
+    dielectric split — the feature the reference stubbed, Trace.hs:116-118)
+    scatter to consecutive slots [count, count + n).  Destination of item i
+    = count + (exclusive prefix sum of item_mask)[i]; masked-out or
+    over-capacity items scatter out of bounds and are dropped (callers size
+    queues via `queue_factor`).
+
+    Returns (new queue arrays, new count).
+    """
+    capacity = queue[0].shape[0]
+    offsets = jnp.cumsum(item_mask.astype(jnp.int32)) - 1  # inclusive-1
+    dest = jnp.where(item_mask, count + offsets, capacity)  # OOB -> dropped
+    new_queue = tuple(
+        q.at[dest].set(it, mode="drop") for q, it in zip(queue, items)
+    )
+    new_count = count + jnp.sum(item_mask, dtype=jnp.int32)
+    return new_queue, jnp.minimum(new_count, capacity)

@@ -1,0 +1,118 @@
+"""Renderer driver: compile-once / step-many progressive rendering.
+
+Host-side equivalent of the reference's application core
+(/root/reference/app/Main.hs): `compileFor` fixes the pixel grid and
+algorithm while the camera stays a runtime argument (Main.hs:185-191);
+`computationLoop` runs one sample per dispatch, switching to batches of
+`max(30, iters/50)` once past 100 iterations (Main.hs:204-211); every 2000
+iterations the per-pixel RNGs are reseeded from host entropy
+(Main.hs:217-239); moving the camera resets the accumulator but reuses the
+same compiled function (Main.hs:305-321).
+
+The TPU redesign collapses the reference's three OS threads + MVar
+(Main.hs:178-183) into a single host loop: device execution is already
+asynchronous under JAX, so dispatching the next jitted step overlaps with
+reading back the previous image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..models.objects import Accumulator, Camera, Scene
+from ..ops import rng as rng_ops
+from ..utils.config import RenderConfig
+from . import integrator
+from .wavefront import render_batch_wavefront
+
+
+class Renderer:
+    """Progressive path tracer bound to a (resolution, algorithm, bounces)
+    configuration — the `compileFor` boundary (Main.hs:188-191).
+
+    Scene, camera and accumulator are traced arguments: changing any of them
+    (camera motion, inverse-rendering updates) never recompiles.
+    """
+
+    def __init__(self, config: RenderConfig):
+        self.config = config
+        if config.algorithm == "inline":
+            step = partial(
+                integrator.render_batch_inline,
+                num_bounces=config.bounces,
+                russian_roulette=config.russian_roulette,
+            )
+        elif config.algorithm == "wavefront":
+            step = partial(
+                render_batch_wavefront,
+                num_bounces=config.bounces,
+                russian_roulette=config.russian_roulette,
+            )
+        else:
+            raise ValueError(f"unknown algorithm {config.algorithm!r}")
+        # spp must be static (it is a fori_loop bound); donate the
+        # accumulator so progressive rendering updates it in place in HBM.
+        self._step = jax.jit(
+            lambda scene, camera, acc, spp: step(scene, camera, acc, spp),
+            static_argnames=("spp",),
+            donate_argnames=("acc",),
+        )
+
+    def init_accumulator(self, seed: Optional[int] = None) -> Accumulator:
+        return integrator.make_accumulator(
+            self.config.width, self.config.height, seed=seed
+        )
+
+    def step(self, scene: Scene, camera: Camera, acc: Accumulator, spp: int = 1):
+        """Render `spp` more samples into the accumulator (async dispatch)."""
+        return self._step(scene, camera, acc, spp)
+
+    def batch_size(self, iterations: int) -> int:
+        """The reference's responsiveness/throughput schedule
+        (Main.hs:204-211): single samples for the first 100 iterations, then
+        batches of max(30, iterations // 50)."""
+        if iterations < 100:
+            return 1
+        return max(30, iterations // 50)
+
+    def should_reseed(self, prev_iters: int, new_iters: int) -> bool:
+        """Reseed every `reseed_interval` samples (Main.hs:236-239)."""
+        k = self.config.reseed_interval
+        return (prev_iters // k) != (new_iters // k)
+
+    def reseed(self, acc: Accumulator, seed: Optional[int] = None) -> Accumulator:
+        return rng_ops.reseed(
+            (self.config.height, self.config.width), acc, seed=seed
+        )
+
+    def render(
+        self,
+        scene: Scene,
+        camera: Camera,
+        total_spp: int,
+        seed: Optional[int] = None,
+        progress: bool = False,
+    ) -> Accumulator:
+        """Render `total_spp` samples with the reference's batching and
+        reseeding schedule, returning the final accumulator."""
+        acc = self.init_accumulator(seed=seed)
+        done = 0
+        while done < total_spp:
+            n = min(self.batch_size(done), total_spp - done)
+            prev = done
+            acc = self.step(scene, camera, acc, spp=n)
+            done += n
+            if self.should_reseed(prev, done):
+                acc = self.reseed(acc, seed=None if seed is None else seed + done)
+            if progress:
+                print(f"  {done}/{total_spp} spp", flush=True)
+        return acc
+
+    def image(self, acc: Accumulator) -> np.ndarray:
+        """Normalized (divided-by-iterations) image on host."""
+        return np.asarray(acc.image)

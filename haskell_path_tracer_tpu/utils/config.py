@@ -1,0 +1,78 @@
+"""The single configuration dataclass + CLI plumbing.
+
+The reference scatters configuration across a Cabal build flag, a CLI option
+and hard-coded constants (SURVEY.md §5: backend CPP flag at
+/root/reference/app/Main.hs:58-67, `--variant streams|inline` at
+Main.hs:110-132, 800x600 / 15 bounces / reseed-2000 constants at
+Util.hs:186-188, Trace.hs:80-81, Main.hs:236-239).  Here everything is one
+dataclass, constructible from CLI args, with the reference's values as
+defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    # Resolution (reference: hard-coded 800x600, Util.hs:186-188).
+    width: int = 800
+    height: int = 600
+    # Algorithm switch — the reference's `--variant streams|inline`
+    # (Main.hs:110-132); `wavefront` is the redesigned `streams`.
+    algorithm: str = "inline"
+    # Bounce limit (maxIterations = 15, Trace.hs:80-81).
+    bounces: int = 15
+    # Samples per jitted dispatch.
+    spp_per_dispatch: int = 1
+    # Reseed the per-pixel RNGs every N samples (Main.hs:236-239).
+    reseed_interval: int = 2000
+    # Unbiased early termination (the reference's TODO, Trace.hs:338-340).
+    russian_roulette: bool = False
+    # Wavefront queue capacity as a multiple of the pixel count (1.0 = one
+    # slot per primary ray; >1 leaves room for ray splitting).
+    queue_factor: float = 1.0
+    # Device mesh shape for sharded rendering: (data/tile axis,).
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    # RNG seed (None = system entropy, like the reference's MWC seeding).
+    seed: Optional[int] = None
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def add_cli_args(parser: argparse.ArgumentParser) -> None:
+    d = RenderConfig()
+    parser.add_argument("--width", type=int, default=d.width)
+    parser.add_argument("--height", type=int, default=d.height)
+    parser.add_argument(
+        "--variant",
+        choices=["inline", "wavefront", "streams"],
+        default="inline",
+        help="rendering algorithm (streams is an alias for wavefront, "
+        "matching the reference CLI)",
+    )
+    parser.add_argument("--bounces", type=int, default=d.bounces)
+    parser.add_argument("--spp", type=int, default=64, help="total samples")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--russian-roulette", action="store_true", default=False
+    )
+    parser.add_argument("--reseed-interval", type=int, default=d.reseed_interval)
+
+
+def config_from_args(args: argparse.Namespace) -> RenderConfig:
+    algo = "wavefront" if args.variant == "streams" else args.variant
+    return RenderConfig(
+        width=args.width,
+        height=args.height,
+        algorithm=algo,
+        bounces=args.bounces,
+        reseed_interval=args.reseed_interval,
+        russian_roulette=args.russian_roulette,
+        seed=args.seed,
+    )
