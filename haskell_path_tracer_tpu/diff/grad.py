@@ -1,0 +1,148 @@
+"""Differentiable rendering: pixel gradients w.r.t. scene parameters.
+
+This capability has no counterpart in the reference (a forward-only
+renderer); it is the framework's inverse-rendering subsystem (BASELINE.md
+north star: "pixel gradients w.r.t. material/emission/geometry parameters
+... validated against finite differences").
+
+Design (Dr.Jit-style, see PAPERS.md):
+
+  * the whole forward bounce loop is differentiated as a rematerialized
+    `lax.scan` (`trace_inline(differentiable=True)`) — per-bounce hit data
+    is recomputed in the backward sweep rather than stored;
+  * *decisions are detached*: hit masks, nearest-primitive argmin, BRDF
+    branch selection and RNG draws carry no tangents (they are integer/
+    boolean ops), so we differentiate shading along fixed paths — visibility
+    discontinuities are not differentiated (their measure-zero contribution
+    is ignored, the standard path-space approximation);
+  * gradients flow through intersection distances, normals, BRDF weights,
+    throughput products and emission, covering material color, illuminance,
+    BRDF parameters, sphere position/radius and plane position/normal.
+
+RNG states are held fixed for a given gradient evaluation, making the loss
+deterministic — the same-seed trick that keeps finite-difference validation
+meaningful.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.camera import primary_rays
+from ..models.objects import Camera, Materials, Planes, Scene, Spheres
+from ..render.integrator import trace_inline
+
+
+def render_radiance(
+    scene: Scene,
+    camera: Camera,
+    rng_state: jnp.ndarray,
+    width: int,
+    height: int,
+    num_bounces: int = 4,
+    spp: int = 1,
+) -> jnp.ndarray:
+    """Differentiable expected-radiance image [H, W, 3].
+
+    Averages `spp` samples, each advancing the RNG state; the state itself
+    is treated as a constant (no tangent), so the function is a
+    deterministic, differentiable map from scene parameters to pixels.
+    """
+    rays = primary_rays(camera, width, height)
+
+    def sample(carry, _):
+        rng = carry
+        radiance, rng = trace_inline(
+            scene, rays, rng, num_bounces, differentiable=True
+        )
+        return rng, radiance
+
+    _, radiances = jax.lax.scan(sample, rng_state, None, length=spp)
+    return jnp.mean(radiances, axis=0)
+
+
+class SceneParams(NamedTuple):
+    """The differentiable subset of a Scene, as a flat pytree.
+
+    Geometry (sphere pos/radius, plane pos) and materials (color,
+    illuminance, brdf_param) of every primitive.
+    """
+
+    sphere_pos: jnp.ndarray
+    sphere_radius: jnp.ndarray
+    sphere_color: jnp.ndarray
+    sphere_illum: jnp.ndarray
+    sphere_param: jnp.ndarray
+    plane_pos: jnp.ndarray
+    plane_color: jnp.ndarray
+    plane_illum: jnp.ndarray
+    plane_param: jnp.ndarray
+
+
+def scene_to_params(scene: Scene) -> SceneParams:
+    return SceneParams(
+        sphere_pos=scene.spheres.pos,
+        sphere_radius=scene.spheres.radius,
+        sphere_color=scene.spheres.material.color,
+        sphere_illum=scene.spheres.material.illuminance,
+        sphere_param=scene.spheres.material.brdf_param,
+        plane_pos=scene.planes.pos,
+        plane_color=scene.planes.material.color,
+        plane_illum=scene.planes.material.illuminance,
+        plane_param=scene.planes.material.brdf_param,
+    )
+
+
+def params_to_scene(params: SceneParams, template: Scene) -> Scene:
+    """Rebuild a Scene from differentiable params + the template's
+    non-differentiable fields (BRDF kind tags, plane normals)."""
+    return Scene(
+        spheres=Spheres(
+            pos=params.sphere_pos,
+            radius=params.sphere_radius,
+            material=Materials(
+                color=params.sphere_color,
+                illuminance=params.sphere_illum,
+                brdf_kind=template.spheres.material.brdf_kind,
+                brdf_param=params.sphere_param,
+            ),
+        ),
+        planes=Planes(
+            pos=params.plane_pos,
+            normal=template.planes.normal,
+            material=Materials(
+                color=params.plane_color,
+                illuminance=params.plane_illum,
+                brdf_kind=template.planes.material.brdf_kind,
+                brdf_param=params.plane_param,
+            ),
+        ),
+    )
+
+
+def image_loss(
+    params: SceneParams,
+    template: Scene,
+    camera: Camera,
+    target: jnp.ndarray,
+    rng_state: jnp.ndarray,
+    num_bounces: int = 4,
+    spp: int = 1,
+) -> jnp.ndarray:
+    """MSE between the rendered radiance image and a target — the inverse
+    rendering objective."""
+    scene = params_to_scene(params, template)
+    h, w = target.shape[:2]
+    img = render_radiance(scene, camera, rng_state, w, h, num_bounces, spp)
+    return jnp.mean((img - target) ** 2)
+
+
+def loss_and_grad(params, template, camera, target, rng_state, **kw):
+    return jax.value_and_grad(image_loss)(
+        params, template, camera, target, rng_state, **kw
+    )

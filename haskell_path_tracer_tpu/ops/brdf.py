@@ -74,7 +74,10 @@ def _dielectric_sample(ray_d, normal, u, ior):
 
     sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
     tir = sin2_t > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # Double-where: sqrt'(0) = inf would leak NaN into cotangents of the
+    # other BRDF branches even though this value is masked out downstream.
+    cos_t_arg = jnp.where(tir, 1.0, jnp.maximum(1.0 - sin2_t, 1e-12))
+    cos_t = jnp.where(tir, 0.0, jnp.sqrt(cos_t_arg))
 
     r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
     fresnel = r0 + (1.0 - r0) * (1.0 - cos_i) ** 5

@@ -53,11 +53,14 @@ def sphere_distances(ray_o, ray_d, spheres: Spheres):
     tca = linalg.dot(l, ray_d[..., None, :])  # [..., N]
     d2 = linalg.quadrance(l) - tca * tca
     r2 = spheres.radius * spheres.radius
-    # where-trick: keep sqrt's argument >= 0 on miss lanes so the VJP of this
-    # op never sees NaN (d2 > r2 lanes are discarded by the mask anyway).
-    thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+    # Double-where: on miss lanes (d2 > r2) the clamp makes sqrt's argument
+    # exactly 0 and sqrt'(0) = inf would leak NaN into the VJP through the
+    # masked branch; pin those lanes to a safe argument and a 0 primal.
+    outside = d2 > r2
+    thc_arg = jnp.where(outside, 1.0, jnp.maximum(r2 - d2, 1e-12))
+    thc = jnp.where(outside, 0.0, jnp.sqrt(thc_arg))
     t = tca - thc  # == min(tca-thc, tca+thc), Intersection.hs:46-48
-    miss = (tca < 0.0) | (d2 > r2) | (t < 0.0)
+    miss = (tca < 0.0) | outside | (t < 0.0)
     return jnp.where(miss, INFINITE, t)
 
 

@@ -49,12 +49,20 @@ def trace_inline(
     num_bounces: int = DEFAULT_BOUNCES,
     russian_roulette: bool = False,
     rr_start: int = 3,
+    differentiable: bool = False,
 ):
     """Trace one sample per ray to completion.
 
     Returns (radiance [..., 3], final rng_state).  `num_bounces` is a static
     trace-time constant, like the reference's `limit` argument
     (Trace.hs:344-350).
+
+    With `differentiable=True` the bounce loop runs as a rematerialized
+    `lax.scan` instead of `fori_loop` (which lowers to a non-reverse-
+    differentiable while loop): each bounce is wrapped in `jax.checkpoint`,
+    so the backward sweep recomputes per-bounce hit data instead of storing
+    it — the standard memory/compute trade for differentiating the bounce
+    recursion (SURVEY.md §7 "hard parts").  Forward numerics are identical.
     """
 
     def body(i, state):
@@ -99,7 +107,13 @@ def trace_inline(
         zeros,  # initialColor (Trace.hs:353)
         jnp.ones_like(rays.origin),  # initialThroughput (Trace.hs:354)
     )
-    _, _, rng_out, result, _ = jax.lax.fori_loop(0, num_bounces, body, init)
+    if differentiable:
+        ckpt_body = jax.checkpoint(lambda state, i: (body(i, state), None))
+        (_, _, rng_out, result, _), _ = jax.lax.scan(
+            ckpt_body, init, jnp.arange(num_bounces)
+        )
+    else:
+        _, _, rng_out, result, _ = jax.lax.fori_loop(0, num_bounces, body, init)
     return result, rng_out
 
 
