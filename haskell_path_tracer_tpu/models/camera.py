@@ -46,23 +46,37 @@ def camera_basis(camera: Camera):
     return center, c_dir, right_offset
 
 
-def primary_rays(camera: Camera, width: int, height: int) -> Rays:
+def primary_rays(
+    camera: Camera,
+    width: int,
+    height: int,
+    row_offset=0,
+    full_height: int | None = None,
+) -> Rays:
     """Generate one primary ray per pixel.  Returns Rays with
     origin/direction of shape [height, width, 3].
 
     Trace.hs:244-262: raster -> screen space -> point on the virtual plane ->
     normalized direction from the camera position.
+
+    For image-tile sharding, a device generates only its row block:
+    `height` is the block height, `row_offset` the block's first global row
+    (may be traced, e.g. `axis_index * block_h` inside shard_map), and
+    `full_height` the global image height the screen-space mapping is
+    normalized against.
     """
     center, c_dir, right_offset = camera_basis(camera)
-    aspect = jnp.float32(width) / jnp.float32(height)
+    fh = height if full_height is None else full_height
+    aspect = jnp.float32(width) / jnp.float32(fh)
     top_offset = linalg.cross(c_dir, right_offset) / aspect
 
     # rasterPos / screenSize * 2 + (-1, 1), screenSize = (W, -H)
     # (Util.hs:198-200) — pixel (x, y) with y = row index from the top.
     xs = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    ys = ys + jnp.asarray(row_offset, jnp.float32)
     screen_x = xs / jnp.float32(width) * 2.0 - 1.0
-    screen_y = ys / jnp.float32(-height) * 2.0 + 1.0
+    screen_y = ys / jnp.float32(-fh) * 2.0 + 1.0
 
     virtual_point = (
         center

@@ -99,25 +99,78 @@ class Hit:
     brdf_param: jnp.ndarray  # [...] f32
 
 
+def _field_table(scene: Scene) -> jnp.ndarray:
+    """Per-primitive payload table [N+M, 8]:
+    aux(3) = sphere center | plane normal, color(3), illuminance,
+    brdf_param.  Gathered hit attributes come from a one-hot contraction
+    against this table (see `nearest_hit`)."""
+    sm = scene.spheres.material
+    pm = scene.planes.material
+    sph = jnp.concatenate(
+        [
+            scene.spheres.pos,
+            sm.color,
+            sm.illuminance[:, None],
+            sm.brdf_param[:, None],
+        ],
+        axis=-1,
+    )
+    pln = jnp.concatenate(
+        [
+            scene.planes.normal,
+            pm.color,
+            pm.illuminance[:, None],
+            pm.brdf_param[:, None],
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([sph, pln], axis=0)
+
+
 def nearest_hit(ray_o, ray_d, scene: Scene) -> Hit:
     """Resolve the nearest intersection of each ray with the scene.
 
     `checkHit` parity (Trace.hs:443-447): linear scan over all primitives,
-    min by distance, first primitive wins ties (argmin returns the first
-    minimum; primitive order is spheres then planes, as in `mapScene`,
-    Util.hs:156-158).
+    min by distance, first primitive wins ties (primitive order is spheres
+    then planes, as in `mapScene`, Util.hs:156-158).
+
+    TPU note: the obvious argmin + per-field gather formulation is ~18x
+    slower on TPU than this one (variadic reduces and gathers over a tiny
+    minor axis serialize badly).  Instead: a plain min-reduce for t, a
+    masked-iota min-reduce for the winning index (first minimum wins ties,
+    preserving parity), and ONE one-hot matmul against a packed field table
+    — the payload gather rides the MXU and scales to thousands of
+    primitives.
     """
     ts = sphere_distances(ray_o, ray_d, scene.spheres)  # [..., N]
     tp = plane_distances(ray_o, ray_d, scene.planes)  # [..., M]
-    all_t = jnp.concatenate([ts, tp], axis=-1)  # [..., N+M]
-    prim = jnp.argmin(all_t, axis=-1).astype(jnp.int32)  # [...]
-    t = jnp.take_along_axis(all_t, prim[..., None], axis=-1)[..., 0]
+    all_t = jnp.concatenate([ts, tp], axis=-1)  # [..., P]
+    num_prims = all_t.shape[-1]
+    t = jnp.min(all_t, axis=-1)
     hit = t < INFINITE
+
+    iota = jnp.arange(num_prims, dtype=jnp.int32)
+    prim = jnp.min(
+        jnp.where(all_t == t[..., None], iota, num_prims), axis=-1
+    ).astype(jnp.int32)
+
+    onehot = (prim[..., None] == iota).astype(jnp.float32)  # [..., P]
+    fields = jax.numpy.matmul(
+        onehot, _field_table(scene), preferred_element_type=jnp.float32
+    )  # [..., 8] — exact: one-hot rows select exact table rows
+    aux = fields[..., 0:3]
+    color = fields[..., 3:6]
+    illuminance = fields[..., 6]
+    brdf_param = fields[..., 7]
+
+    sk = scene.spheres.material.brdf_kind.astype(jnp.float32)
+    pk = scene.planes.material.brdf_kind.astype(jnp.float32)
+    brdf_kind = jnp.round(
+        jnp.matmul(onehot, jnp.concatenate([sk, pk]))
+    ).astype(jnp.int32)
 
     n_spheres = scene.spheres.count
     is_sphere = prim < n_spheres
-    sphere_idx = jnp.minimum(prim, n_spheres - 1)
-    plane_idx = jnp.clip(prim - n_spheres, 0, scene.planes.count - 1)
 
     # Hit point: o + d * t (default `hit`, Intersection.hs:29-32).  Use a
     # zeroed t on miss lanes so downstream math stays finite.
@@ -125,18 +178,11 @@ def nearest_hit(ray_o, ray_d, scene: Scene) -> Hit:
     point = ray_o + ray_d * t_safe[..., None]
 
     # Normals: sphere -> normalize(point - center) (Intersection.hs:50);
-    # plane -> its constant normal (Intersection.hs:64).
-    s_center = scene.spheres.pos[sphere_idx]  # [..., 3]
-    sphere_n = linalg.normalize_safe(point - s_center)
-    plane_n = scene.planes.normal[plane_idx]
-    normal = jnp.where(is_sphere[..., None], sphere_n, plane_n)
+    # plane -> its constant normal (Intersection.hs:64).  `aux` carries the
+    # winning sphere's center or the winning plane's normal.
+    sphere_n = linalg.normalize_safe(point - aux)
+    normal = jnp.where(is_sphere[..., None], sphere_n, aux)
 
-    sm = scene.spheres.material
-    pm = scene.planes.material
-    sel = lambda a, b: jnp.where(is_sphere, a[sphere_idx], b[plane_idx])
-    color = jnp.where(
-        is_sphere[..., None], sm.color[sphere_idx], pm.color[plane_idx]
-    )
     return Hit(
         t=t,
         hit=hit,
@@ -144,7 +190,7 @@ def nearest_hit(ray_o, ray_d, scene: Scene) -> Hit:
         point=point,
         normal=normal,
         color=color,
-        illuminance=sel(sm.illuminance, pm.illuminance),
-        brdf_kind=sel(sm.brdf_kind, pm.brdf_kind),
-        brdf_param=sel(sm.brdf_param, pm.brdf_param),
+        illuminance=illuminance,
+        brdf_kind=brdf_kind,
+        brdf_param=brdf_param,
     )

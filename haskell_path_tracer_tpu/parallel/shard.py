@@ -1,0 +1,190 @@
+"""SPMD rendering and training steps over a device mesh (shard_map).
+
+The reference's only parallelism is data-parallel pixels on one device
+(SURVEY.md §2.3).  Here the same pure render step runs under `shard_map`:
+
+  * forward rendering: the accumulator (color+rng) is row-sharded over the
+    `tile` axis; each chip generates primary rays for its own row block
+    (`row_offset = axis_index * block_h`) and runs the full bounce loop
+    locally — zero collectives in the forward hot loop (the scene is
+    replicated);
+  * spp sharding: the `sample` axis renders the same tile with independent
+    RNG streams; radiance is `psum`-ed across the axis;
+  * inverse rendering: each chip differentiates the loss on its block;
+    scene-parameter gradients are `psum`-ed over the whole mesh — the one
+    place collectives carry the training traffic (BASELINE.md north star).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..diff import grad as G
+from ..models.objects import Accumulator, Camera, Scene
+from ..render import integrator
+from .mesh import SAMPLE_AXIS, TILE_AXIS, accumulator_sharding
+
+
+def _acc_specs():
+    return Accumulator(color=P(TILE_AXIS), rng=P(TILE_AXIS), iterations=P())
+
+
+def place_accumulator(acc: Accumulator, mesh: Mesh) -> Accumulator:
+    """Device-put an accumulator with rows sharded over the tile axis."""
+    sh = accumulator_sharding(mesh)
+    return Accumulator(
+        color=jax.device_put(acc.color, sh),
+        rng=jax.device_put(acc.rng, sh),
+        iterations=jax.device_put(
+            acc.iterations, NamedSharding(mesh, P())
+        ),
+    )
+
+
+def render_sharded(
+    scene: Scene,
+    camera: Camera,
+    acc: Accumulator,
+    spp: int,
+    mesh: Mesh,
+    num_bounces: int = 15,
+    russian_roulette: bool = False,
+):
+    """Tile-sharded progressive render step (jit-compatible; `spp`,
+    `num_bounces` static)."""
+    full_height = acc.color.shape[0]
+    n_tile = mesh.shape[TILE_AXIS]
+    assert full_height % n_tile == 0, (full_height, n_tile)
+    block_h = full_height // n_tile
+
+    def local_step(scene, camera, acc_block):
+        row0 = jax.lax.axis_index(TILE_AXIS) * block_h
+        return integrator.render_batch_inline(
+            scene,
+            camera,
+            acc_block,
+            spp,
+            num_bounces,
+            russian_roulette,
+            row_offset=row0,
+            full_height=full_height,
+        )
+
+    return jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), _acc_specs()),
+        out_specs=_acc_specs(),
+        check_vma=False,
+    )(scene, camera, acc)
+
+
+def render_radiance_sharded(
+    scene: Scene,
+    camera: Camera,
+    rng_states: jnp.ndarray,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    num_bounces: int = 4,
+    spp_per_shard: int = 1,
+):
+    """Expected radiance with tiles AND samples sharded.
+
+    `rng_states` is [n_sample, height, width, 4]: axis 0 sharded over
+    `sample`, rows over `tile`.  Each (tile, sample) shard renders
+    `spp_per_shard` samples of its block; the sample axis mean is a `psum`.
+    Returns the full radiance image [height, width, 3] (tile-sharded,
+    sample-replicated).
+    """
+    n_tile = mesh.shape[TILE_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    assert height % n_tile == 0 and rng_states.shape[0] == n_sample
+    block_h = height // n_tile
+
+    def local(scene, camera, rng_block):
+        from ..models.camera import primary_rays
+
+        row0 = jax.lax.axis_index(TILE_AXIS) * block_h
+        rng = rng_block[0]
+
+        def one(carry, _):
+            rng = carry
+            r = primary_rays(camera, width, block_h, row0, height)
+            rad, rng = integrator.trace_inline(scene, r, rng, num_bounces)
+            return rng, rad
+
+        _, rads = jax.lax.scan(one, rng, None, length=spp_per_shard)
+        local_mean = jnp.mean(rads, axis=0)
+        return jax.lax.pmean(local_mean, SAMPLE_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(SAMPLE_AXIS, TILE_AXIS)),
+        out_specs=P(TILE_AXIS),
+        check_vma=False,
+    )(scene, camera, rng_states)
+
+
+def train_step_sharded(
+    params: G.SceneParams,
+    template: Scene,
+    camera: Camera,
+    target: jnp.ndarray,
+    rng_states: jnp.ndarray,
+    mesh: Mesh,
+    num_bounces: int = 4,
+    lr: float = 1e-2,
+):
+    """One inverse-rendering SGD step with rays + grads sharded.
+
+    `target` [H,W,3] and `rng_states` [H,W,4] are tile-sharded; params are
+    replicated.  Each chip renders + differentiates its block; scene-param
+    gradients `psum` over the mesh (the backward-sweep all-reduce of the
+    north star).  Returns (new_params, loss) — both replicated.
+    """
+    full_height = target.shape[0]
+    n_tile = mesh.shape[TILE_AXIS]
+    block_h = full_height // n_tile
+    width = target.shape[1]
+    denom = float(target.size)
+
+    def local(params, template, camera, tgt_block, rng_block):
+        row0 = jax.lax.axis_index(TILE_AXIS) * block_h
+
+        def local_loss(p):
+            scene = G.params_to_scene(p, template)
+            from ..models.camera import primary_rays
+
+            rays = primary_rays(camera, width, block_h, row0, full_height)
+            rad, _ = integrator.trace_inline(
+                scene, rays, rng_block, num_bounces, differentiable=True
+            )
+            return jnp.sum((rad - tgt_block) ** 2) / denom
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        # The gradient all-reduce: sum over tiles = global grad; sample
+        # shards (if any) hold replicas of the same tile, so mean there.
+        reduce = lambda g: jax.lax.pmean(
+            jax.lax.psum(g, TILE_AXIS), SAMPLE_AXIS
+        )
+        grads = jax.tree_util.tree_map(reduce, grads)
+        loss = reduce(loss)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g, params, grads
+        )
+        return new_params, loss
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(TILE_AXIS), P(TILE_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(params, template, camera, target, rng_states)

@@ -123,12 +123,18 @@ def render_sample_inline(
     acc: Accumulator,
     num_bounces: int = DEFAULT_BOUNCES,
     russian_roulette: bool = False,
+    row_offset=0,
+    full_height: int | None = None,
 ) -> Accumulator:
     """One progressive sample: trace every pixel once and fold into the
     accumulator — `render Inline` (Trace.hs:193-200): new + old color, keep
-    the new rng state."""
+    the new rng state.
+
+    `row_offset`/`full_height` support image-tile sharding: the accumulator
+    may be one device's row block of a larger image (see parallel/shard.py).
+    """
     height, width = acc.color.shape[:2]
-    rays = primary_rays(camera, width, height)
+    rays = primary_rays(camera, width, height, row_offset, full_height)
     radiance, rng_out = trace_inline(
         scene, rays, acc.rng, num_bounces, russian_roulette
     )
@@ -146,6 +152,8 @@ def render_batch_inline(
     spp: int,
     num_bounces: int = DEFAULT_BOUNCES,
     russian_roulette: bool = False,
+    row_offset=0,
+    full_height: int | None = None,
 ) -> Accumulator:
     """`spp` samples in one dispatch via an on-device sample loop — the
     TPU version of the reference's host-side batching
@@ -154,7 +162,8 @@ def render_batch_inline(
 
     def body(_, a):
         return render_sample_inline(
-            scene, camera, a, num_bounces, russian_roulette
+            scene, camera, a, num_bounces, russian_roulette,
+            row_offset, full_height,
         )
 
     return jax.lax.fori_loop(0, spp, body, acc)
