@@ -28,7 +28,7 @@ def main() -> None:
     from haskell_path_tracer_tpu.models import world
     from haskell_path_tracer_tpu.render.integrator import (
         make_accumulator,
-        render_batch_inline,
+        render_batch_auto,
     )
 
     scene = world.main_scene()
@@ -36,7 +36,7 @@ def main() -> None:
     acc = make_accumulator(WIDTH, HEIGHT, seed=0)
 
     step = jax.jit(
-        lambda s, c, a: render_batch_inline(
+        lambda s, c, a: render_batch_auto(
             s, c, a, spp=SPP, num_bounces=BOUNCES
         )
     )

@@ -1,0 +1,434 @@
+"""Pallas TPU megakernel: the whole sample+bounce loop fused on-chip.
+
+The XLA inline integrator (render/integrator.py) round-trips the per-pixel
+loop state (ray, rng, result, throughput — 16 f32/pixel) through HBM between
+fusion boundaries.  This kernel is the speed-of-light version: a grid of
+row-tile programs, each holding its tile's entire state in VMEM for ALL
+samples and ALL bounces — the only HBM traffic is reading the primary rays
++ rng once and writing radiance + rng once, regardless of spp x bounces.
+
+Semantics are identical to `trace_inline` (same op sequence, same SFC32
+draws — the parity tests assert bit-equal RNG states and allclose
+radiance), so this is a drop-in backend for the inline megakernel
+(`render Inline`, /root/reference/src/Scene/Trace.hs:193-200, 344-383).
+
+The scene rides along as two small VMEM tables (replicated per program):
+  geom  [P, 8]: sphere (cx, cy, cz, radius, 0, 0, 0, is_sphere=1)
+                plane  (px, py, pz, nx, ny, nz, 0, 0)
+  mat   [P, 8]: (cr, cg, cb, illuminance, brdf_param, brdf_kind, 0, 0)
+The per-primitive fold is unrolled at trace time (static P), with
+where-folds for the nearest-hit payload — the same formulation the XLA
+path uses, minus all layout/fusion overhead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.objects import Scene
+from .intersect import EPSILON, INFINITE, PLANE_DENOM_EPS
+
+INV_TWO_PI = np.float32(1.0 / (2.0 * np.pi))
+NEAR_ZERO_EPS = np.float32(1e-6)
+
+
+def _scene_tables(scene: Scene):
+    """Pack the scene into (geom [P,8], mat [P,8]) f32 tables."""
+    ns = scene.spheres.count
+    sm, pm = scene.spheres.material, scene.planes.material
+    zeros_s = jnp.zeros((ns,), jnp.float32)
+    geom_s = jnp.stack(
+        [
+            scene.spheres.pos[:, 0],
+            scene.spheres.pos[:, 1],
+            scene.spheres.pos[:, 2],
+            scene.spheres.radius,
+            zeros_s,
+            zeros_s,
+            zeros_s,
+            jnp.ones((ns,), jnp.float32),
+        ],
+        axis=-1,
+    )
+    npl = scene.planes.count
+    zeros_p = jnp.zeros((npl,), jnp.float32)
+    geom_p = jnp.stack(
+        [
+            scene.planes.pos[:, 0],
+            scene.planes.pos[:, 1],
+            scene.planes.pos[:, 2],
+            scene.planes.normal[:, 0],
+            scene.planes.normal[:, 1],
+            scene.planes.normal[:, 2],
+            zeros_p,
+            zeros_p,
+        ],
+        axis=-1,
+    )
+    geom = jnp.concatenate([geom_s, geom_p], axis=0)
+
+    def mat_rows(m, n):
+        z = jnp.zeros((n,), jnp.float32)
+        return jnp.stack(
+            [
+                m.color[:, 0],
+                m.color[:, 1],
+                m.color[:, 2],
+                m.illuminance,
+                m.brdf_param,
+                m.brdf_kind.astype(jnp.float32),
+                z,
+                z,
+            ],
+            axis=-1,
+        )
+
+    mat = jnp.concatenate([mat_rows(sm, ns), mat_rows(pm, npl)], axis=0)
+    return geom, mat
+
+
+def _sfc32_next(a, b, c, ctr):
+    t = a + b + ctr
+    ctr = ctr + jnp.uint32(1)
+    a = b ^ (b >> 9)
+    b = c + (c << 3)
+    c = ((c << 21) | (c >> 11)) + t
+    return t, a, b, c, ctr
+
+
+def _uniform(a, b, c, ctr):
+    bits, a, b, c, ctr = _sfc32_next(a, b, c, ctr)
+    # Mosaic lacks u32 -> f32; bits >> 8 < 2^24 so the i32 hop is exact.
+    u = (bits >> 8).astype(jnp.int32).astype(jnp.float32)
+    return u * np.float32(1.0 / (1 << 24)), a, b, c, ctr
+
+
+def _angles_to_quat(rx, ry, rz):
+    cy, sy = jnp.cos(rz * 0.5), jnp.sin(rz * 0.5)
+    cp, sp = jnp.cos(ry * 0.5), jnp.sin(ry * 0.5)
+    cr, sr = jnp.cos(rx * 0.5), jnp.sin(rx * 0.5)
+    w = cy * cp * cr + sy * sp * sr
+    x = cy * cp * sr - sy * sp * cr
+    y = sy * cp * sr + cy * sp * cr
+    z = sy * cp * cr - cy * sp * sr
+    return w, x, y, z
+
+
+def _quat_rotate(qw, qx, qy, qz, vx, vy, vz):
+    # v + 2*qw*(u x v) + 2*(u x (u x v))
+    tx = 2.0 * (qy * vz - qz * vy)
+    ty = 2.0 * (qz * vx - qx * vz)
+    tz = 2.0 * (qx * vy - qy * vx)
+    ox = vx + qw * tx + (qy * tz - qz * ty)
+    oy = vy + qw * ty + (qz * tx - qx * tz)
+    oz = vz + qw * tz + (qx * ty - qy * tx)
+    return ox, oy, oz
+
+
+def _nearest_hit_fold(geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz):
+    """Unrolled nearest-hit over the scene tables.  All operands are
+    [TH, W] planes; returns a dict of hit fields."""
+    shape = ox.shape
+    best_t = jnp.full(shape, INFINITE, jnp.float32)
+    b_ax = jnp.zeros(shape, jnp.float32)  # sphere center | plane normal x
+    b_ay = jnp.zeros(shape, jnp.float32)
+    b_az = jnp.zeros(shape, jnp.float32)
+    b_cr = jnp.zeros(shape, jnp.float32)
+    b_cg = jnp.zeros(shape, jnp.float32)
+    b_cb = jnp.zeros(shape, jnp.float32)
+    b_il = jnp.zeros(shape, jnp.float32)
+    b_pr = jnp.zeros(shape, jnp.float32)
+    b_kd = jnp.zeros(shape, jnp.float32)
+    b_sp = jnp.zeros(shape, jnp.float32)  # is_sphere
+
+    for p in range(num_prims):
+        g = [geom[p, i] for i in range(8)]
+        m = [mat[p, i] for i in range(8)]
+        if p < num_spheres:
+            cx, cy, cz, rad = g[0], g[1], g[2], g[3]
+            lx, ly, lz = cx - ox, cy - oy, cz - oz
+            tca = lx * dx + ly * dy + lz * dz
+            d2 = lx * lx + ly * ly + lz * lz - tca * tca
+            r2 = rad * rad
+            outside = d2 > r2
+            thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+            t = tca - thc
+            miss = (tca < 0.0) | outside | (t < 0.0)
+            t = jnp.where(miss, INFINITE, t)
+            ax_, ay_, az_, is_sphere = cx, cy, cz, 1.0
+        else:
+            px, py, pz, nx, ny, nz = g[0], g[1], g[2], g[3], g[4], g[5]
+            denom = dx * nx + dy * ny + dz * nz
+            num = (px - ox) * nx + (py - oy) * ny + (pz - oz) * nz
+            denom_safe = jnp.where(
+                denom == 0.0, PLANE_DENOM_EPS * 0.5, denom
+            )
+            dist = num / denom_safe
+            miss = (denom > PLANE_DENOM_EPS) | (dist < 0.0)
+            t = jnp.where(miss, INFINITE, dist)
+            ax_, ay_, az_, is_sphere = nx, ny, nz, 0.0
+
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        b_ax = jnp.where(better, ax_, b_ax)
+        b_ay = jnp.where(better, ay_, b_ay)
+        b_az = jnp.where(better, az_, b_az)
+        b_cr = jnp.where(better, m[0], b_cr)
+        b_cg = jnp.where(better, m[1], b_cg)
+        b_cb = jnp.where(better, m[2], b_cb)
+        b_il = jnp.where(better, m[3], b_il)
+        b_pr = jnp.where(better, m[4], b_pr)
+        b_kd = jnp.where(better, m[5], b_kd)
+        b_sp = jnp.where(better, is_sphere, b_sp)
+
+    hit = best_t < INFINITE
+    t_safe = jnp.where(hit, best_t, 0.0)
+    hx, hy, hz = ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe
+    # normal: sphere -> normalize(hitpoint - center); plane -> stored normal
+    sx, sy_, sz = hx - b_ax, hy - b_ay, hz - b_az
+    # 1/sqrt (not rsqrt) to match the XLA path's normalize_safe bit-for-bit.
+    inv = 1.0 / jnp.maximum(
+        jnp.sqrt(sx * sx + sy_ * sy_ + sz * sz), 1e-20
+    )
+    is_s = b_sp > 0.5
+    nx = jnp.where(is_s, sx * inv, b_ax)
+    ny = jnp.where(is_s, sy_ * inv, b_ay)
+    nz = jnp.where(is_s, sz * inv, b_az)
+    return dict(
+        hit=hit, hx=hx, hy=hy, hz=hz, nx=nx, ny=ny, nz=nz,
+        cr=b_cr, cg=b_cg, cb=b_cb, il=b_il, pr=b_pr, kd=b_kd,
+    )
+
+
+def _brdf_sample(h, dx, dy, dz, ra, rb, rc, rctr):
+    """calcNextRay (Trace.hs:394-435) on planes.  Returns next ray origin/
+    direction, throughput modifier (3 planes), advanced rng."""
+    ux, ra, rb, rc, rctr = _uniform(ra, rb, rc, rctr)
+    uy, ra, rb, rc, rctr = _uniform(ra, rb, rc, rctr)
+    uz, ra, rb, rc, rctr = _uniform(ra, rb, rc, rctr)
+    vx, vy, vz = ux * 2.0 - 1.0, uy * 2.0 - 1.0, uz * 2.0 - 1.0
+
+    nx, ny, nz = h["nx"], h["ny"], h["nz"]
+    p = h["pr"]
+
+    # Matte
+    pi = np.float32(np.pi)
+    qw, qx, qy, qz = _angles_to_quat(pi * vx, pi * vy, pi * vz)
+    mx, my, mz = _quat_rotate(qw, qx, qy, qz, nx, ny, nz)
+    m_b = p / pi * (mx * nx + my * ny + mz * nz)
+
+    # Glossy
+    ia = dx * nx + dy * ny + dz * nz
+    rx, ry, rz = dx - 2.0 * ia * nx, dy - 2.0 * ia * ny, dz - 2.0 * ia * nz
+    s = 1.0 - p
+    qw2, qx2, qy2, qz2 = _angles_to_quat(s * vx, s * vy, s * vz)
+    gx, gy, gz = _quat_rotate(qw2, qx2, qy2, qz2, rx, ry, rz)
+    g_b = jnp.maximum(0.0, gx * rx + gy * ry + gz * rz)
+
+    # Dielectric (glass), Fresnel choice via vx-derived uniform
+    cos_i = -(dx * nx + dy * ny + dz * nz)
+    inside = cos_i < 0.0
+    fnx = jnp.where(inside, -nx, nx)
+    fny = jnp.where(inside, -ny, ny)
+    fnz = jnp.where(inside, -nz, nz)
+    aci = jnp.abs(cos_i)
+    ior = p
+    eta = jnp.where(inside, ior, 1.0 / jnp.maximum(ior, 1e-6))
+    sin2 = eta * eta * jnp.maximum(1.0 - aci * aci, 0.0)
+    tir = sin2 > 1.0
+    cos_t = jnp.where(tir, 0.0, jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin2, 1e-12))))
+    r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+    fres = r0 + (1.0 - r0) * (1.0 - aci) ** 5
+    refl_p = jnp.where(tir, 1.0, fres)
+    u = (vx + 1.0) * 0.5
+    take_refl = u < refl_p
+    k = eta * aci - cos_t
+    tx_ = eta * dx + k * fnx
+    ty_ = eta * dy + k * fny
+    tz_ = eta * dz + k * fnz
+    tinv = 1.0 / jnp.maximum(
+        jnp.sqrt(tx_ * tx_ + ty_ * ty_ + tz_ * tz_), 1e-20
+    )
+    ddx = jnp.where(take_refl, rx, tx_ * tinv)
+    ddy = jnp.where(take_refl, ry, ty_ * tinv)
+    ddz = jnp.where(take_refl, rz, tz_ * tinv)
+
+    kd = h["kd"]
+    is_g = kd == 1.0
+    is_d = kd == 2.0
+    ox2 = jnp.where(is_d, ddx, jnp.where(is_g, gx, mx))
+    oy2 = jnp.where(is_d, ddy, jnp.where(is_g, gy, my))
+    oz2 = jnp.where(is_d, ddz, jnp.where(is_g, gz, mz))
+    b = jnp.where(is_d, 1.0, jnp.where(is_g, g_b, m_b))
+    scale = jnp.where(is_d, b, b * INV_TWO_PI)
+
+    no_x = h["hx"] + ox2 * EPSILON
+    no_y = h["hy"] + oy2 * EPSILON
+    no_z = h["hz"] + oz2 * EPSILON
+    tm_r = h["cr"] * scale
+    tm_g = h["cg"] * scale
+    tm_b = h["cb"] * scale
+    return (no_x, no_y, no_z, ox2, oy2, oz2, tm_r, tm_g, tm_b,
+            ra, rb, rc, rctr)
+
+
+def _megakernel_body(
+    geom_ref, mat_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    ra_ref, rb_ref, rc_ref, rctr_ref,
+    out_r_ref, out_g_ref, out_b_ref,
+    out_ra_ref, out_rb_ref, out_rc_ref, out_rctr_ref,
+    *, spp, num_bounces, num_spheres, num_prims,
+    russian_roulette=False, rr_start=3,
+):
+    geom = geom_ref[:, :]
+    mat = mat_ref[:, :]
+    pox, poy, poz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
+    pdx, pdy, pdz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
+    ra, rb, rc, rctr = (
+        ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :]
+    )
+
+    shape = pox.shape
+    acc_r = jnp.zeros(shape, jnp.float32)
+    acc_g = jnp.zeros(shape, jnp.float32)
+    acc_b = jnp.zeros(shape, jnp.float32)
+
+    for _ in range(spp):
+        ox, oy, oz = pox, poy, poz
+        dx, dy, dz = pdx, pdy, pdz
+        res_r = jnp.zeros(shape, jnp.float32)
+        res_g = jnp.zeros(shape, jnp.float32)
+        res_b = jnp.zeros(shape, jnp.float32)
+        th_r = jnp.ones(shape, jnp.float32)
+        th_g = jnp.ones(shape, jnp.float32)
+        th_b = jnp.ones(shape, jnp.float32)
+
+        def bounce(i, st):
+            (ox, oy, oz, dx, dy, dz, ra, rb, rc, rctr,
+             res_r, res_g, res_b, th_r, th_g, th_b) = st
+            h = _nearest_hit_fold(
+                geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz
+            )
+            q = th_r * th_r + th_g * th_g + th_b * th_b
+            dead = (q <= NEAR_ZERO_EPS) | ~h["hit"]
+
+            (no_x, no_y, no_z, nd_x, nd_y, nd_z,
+             tm_r, tm_g, tm_b, ra2, rb2, rc2, rctr2) = _brdf_sample(
+                h, dx, dy, dz, ra, rb, rc, rctr
+            )
+            nr = res_r + h["cr"] * h["il"] * th_r
+            ng = res_g + h["cg"] * h["il"] * th_g
+            nb = res_b + h["cb"] * h["il"] * th_b
+
+            nth_r, nth_g, nth_b = th_r * tm_r, th_g * tm_g, th_b * tm_b
+            if russian_roulette:
+                u, ra2, rb2, rc2, rctr2 = _uniform(ra2, rb2, rc2, rctr2)
+                p_surv = jnp.clip(
+                    jnp.maximum(nth_r, jnp.maximum(nth_g, nth_b)), 0.05, 1.0
+                )
+                active = jnp.asarray(i, jnp.int32) >= rr_start
+                killed = active & (u >= p_surv)
+                scale = jnp.where(active, 1.0 / p_surv, 1.0)
+                nth_r = jnp.where(killed, 0.0, nth_r * scale)
+                nth_g = jnp.where(killed, 0.0, nth_g * scale)
+                nth_b = jnp.where(killed, 0.0, nth_b * scale)
+
+            sel = lambda a_, b_: jnp.where(dead, a_, b_)
+            return (
+                sel(ox, no_x), sel(oy, no_y), sel(oz, no_z),
+                sel(dx, nd_x), sel(dy, nd_y), sel(dz, nd_z),
+                sel(ra, ra2), sel(rb, rb2), sel(rc, rc2),
+                sel(rctr, rctr2),
+                sel(res_r, nr), sel(res_g, ng), sel(res_b, nb),
+                jnp.where(dead, 0.0, nth_r),
+                jnp.where(dead, 0.0, nth_g),
+                jnp.where(dead, 0.0, nth_b),
+            )
+
+        st = (ox, oy, oz, dx, dy, dz, ra, rb, rc, rctr,
+              res_r, res_g, res_b, th_r, th_g, th_b)
+        st = jax.lax.fori_loop(0, num_bounces, bounce, st)
+        (_, _, _, _, _, _, ra, rb, rc, rctr,
+         res_r, res_g, res_b, _, _, _) = st
+        acc_r = acc_r + res_r
+        acc_g = acc_g + res_g
+        acc_b = acc_b + res_b
+
+    out_r_ref[:, :] = acc_r
+    out_g_ref[:, :] = acc_g
+    out_b_ref[:, :] = acc_b
+    out_ra_ref[:, :] = ra
+    out_rb_ref[:, :] = rb
+    out_rc_ref[:, :] = rc
+    out_rctr_ref[:, :] = rctr
+
+
+def trace_inline_pallas(
+    scene: Scene,
+    rays,
+    rng_state: jnp.ndarray,
+    num_bounces: int = 15,
+    spp: int = 1,
+    tile_rows: int = 8,
+    russian_roulette: bool = False,
+    rr_start: int = 3,
+    interpret: bool = False,
+):
+    """Fused multi-sample inline trace.  Returns (radiance_sum [H,W,3] over
+    `spp` samples, final rng [H,W,4]) — drop-in for `spp` iterations of
+    `trace_inline` summed.
+
+    Width must be a multiple of 128 (TPU lane count); the caller falls back
+    to the XLA path otherwise.
+    """
+    H, W = rng_state.shape[:2]
+    tile_rows = min(tile_rows, H)
+    while H % tile_rows:
+        tile_rows //= 2
+    geom, mat = _scene_tables(scene)
+    num_prims = geom.shape[0]
+
+    planes_in = (
+        [rays.origin[..., i] for i in range(3)]
+        + [rays.direction[..., i] for i in range(3)]
+        + [rng_state[..., i] for i in range(4)]
+    )
+
+    row_spec = pl.BlockSpec(
+        (tile_rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    table_spec = pl.BlockSpec(
+        geom.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _megakernel_body,
+        spp=spp,
+        num_bounces=num_bounces,
+        num_spheres=scene.spheres.count,
+        num_prims=num_prims,
+        russian_roulette=russian_roulette,
+        rr_start=rr_start,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(H // tile_rows,),
+        in_specs=[table_spec, table_spec] + [row_spec] * 10,
+        out_specs=[row_spec] * 7,
+        out_shape=(
+            [jax.ShapeDtypeStruct((H, W), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((H, W), jnp.uint32)] * 4
+        ),
+        interpret=interpret,
+    )(geom, mat, *planes_in)
+
+    radiance = jnp.stack(out[0:3], axis=-1)
+    rng_out = jnp.stack(out[3:7], axis=-1)
+    return radiance, rng_out

@@ -42,8 +42,13 @@ class Renderer:
     def __init__(self, config: RenderConfig):
         self.config = config
         if config.algorithm == "inline":
+            step_fn = {
+                "auto": integrator.render_batch_auto,
+                "xla": integrator.render_batch_inline,
+                "pallas": integrator.render_batch_pallas,
+            }[config.kernel]
             step = partial(
-                integrator.render_batch_inline,
+                step_fn,
                 num_bounces=config.bounces,
                 russian_roulette=config.russian_roulette,
             )

@@ -25,6 +25,9 @@ class RenderConfig:
     # Algorithm switch — the reference's `--variant streams|inline`
     # (Main.hs:110-132); `wavefront` is the redesigned `streams`.
     algorithm: str = "inline"
+    # Inline kernel backend: "auto" (Pallas megakernel on TPU, XLA
+    # elsewhere), "xla", or "pallas".
+    kernel: str = "auto"
     # Bounce limit (maxIterations = 15, Trace.hs:80-81).
     bounces: int = 15
     # Samples per jitted dispatch.

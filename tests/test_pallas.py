@@ -1,0 +1,58 @@
+"""Pallas megakernel vs XLA inline integrator (interpret mode on CPU).
+
+On TPU the kernel is validated statistically (transcendental ulps can flip
+rare discrete decisions); in interpret mode the same jnp ops run through
+the XLA CPU backend, so agreement is near-exact.
+"""
+
+import numpy as np
+
+from haskell_path_tracer_tpu.models import world
+from haskell_path_tracer_tpu.render.integrator import (
+    make_accumulator,
+    render_batch_inline,
+    render_batch_pallas,
+)
+
+W, H = 128, 16
+
+
+def _compare(spp, bounces, rr=False):
+    scene, cam = world.main_scene(), world.initial_camera()
+    ref = render_batch_inline(
+        scene, cam, make_accumulator(W, H, seed=2), spp,
+        num_bounces=bounces, russian_roulette=rr,
+    )
+    out = render_batch_pallas(
+        scene, cam, make_accumulator(W, H, seed=2), spp,
+        num_bounces=bounces, russian_roulette=rr,
+        interpret=True,
+    )
+    assert int(out.iterations) == int(ref.iterations) == spp
+    rng_match = (np.asarray(ref.rng) == np.asarray(out.rng)).all(axis=-1).mean()
+    assert rng_match > 0.995, rng_match
+    close = np.isclose(
+        np.asarray(ref.color), np.asarray(out.color), rtol=1e-4, atol=1e-4
+    ).mean()
+    assert close > 0.995, close
+
+
+def test_pallas_matches_xla_single_sample():
+    _compare(spp=1, bounces=4)
+
+
+def test_pallas_matches_xla_multi_sample_deep():
+    _compare(spp=3, bounces=8)
+
+
+def test_pallas_matches_xla_russian_roulette():
+    _compare(spp=2, bounces=6, rr=True)
+
+
+def test_pallas_tile_shapes():
+    scene, cam = world.main_scene(), world.initial_camera()
+    out = render_batch_pallas(
+        scene, cam, make_accumulator(128, 24, seed=1), 1,
+        num_bounces=3, tile_rows=8, interpret=True,
+    )
+    assert out.color.shape == (24, 128, 3)
