@@ -18,6 +18,23 @@ from haskell_path_tracer_tpu.models.objects import (
 )
 from haskell_path_tracer_tpu.ops.rng import gen_seeds
 
+import contextlib
+
+
+@contextlib.contextmanager
+def enable_x64():
+    """x64 context manager across jax versions (jax.experimental.enable_x64
+    was removed in jax 0.9; the config state object is the replacement)."""
+    try:
+        from jax.experimental import enable_x64 as _cm  # jax < 0.9
+        with _cm():
+            yield
+    except ImportError:
+        from jax._src.config import enable_x64 as _state
+        with _state(True):
+            yield
+
+
 W, H, BOUNCES = 24, 16, 3
 
 
@@ -53,6 +70,48 @@ def setup():
     return params, loss
 
 
+_F64_CACHE = {}
+
+
+def setup_f64():
+    """The same loss with a float64 forward pass — the well-conditioned
+    ground truth for FD validation.  (In f32, FD noise at workable eps is
+    a few percent — forward-pass rounding amplified by 1/eps — which says
+    nothing about gradient correctness.)  Rays/RNG are constants w.r.t.
+    the differentiated params, so casting rays + params to f64 makes the
+    whole trace run in f64."""
+    if _F64_CACHE:
+        return _F64_CACHE["params"], _F64_CACHE["loss"]
+    from haskell_path_tracer_tpu.models.camera import primary_rays
+    from haskell_path_tracer_tpu.models.objects import Rays
+    from haskell_path_tracer_tpu.render.integrator import trace_inline
+
+    scene = small_scene()
+    cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
+    with enable_x64():
+        rng = gen_seeds((H, W), seed=7)
+        rays = primary_rays(cam, W, H)
+        rays64 = Rays(
+            origin=rays.origin.astype(jnp.float64),
+            direction=rays.direction.astype(jnp.float64),
+        )
+        target = jnp.zeros((H, W, 3), jnp.float64) + 0.25
+        params = G.scene_to_params(scene)
+        params64 = type(params)(
+            *[jnp.asarray(np.asarray(x, np.float64)) for x in params]
+        )
+
+        @jax.jit
+        def loss64(p):
+            s = G.params_to_scene(p, scene)
+            rad, _ = trace_inline(s, rays64, rng, BOUNCES, differentiable=True)
+            return jnp.mean((rad - target) ** 2)
+
+        _F64_CACHE["params"] = params64
+        _F64_CACHE["loss"] = loss64
+    return params64, loss64
+
+
 def central_fd(loss, params, field, idx, eps):
     arr = np.asarray(getattr(params, field)).copy()
     arr_p, arr_m = arr.copy(), arr.copy()
@@ -64,28 +123,50 @@ def central_fd(loss, params, field, idx, eps):
 
 
 def test_emission_gradient_matches_fd():
-    params, loss = setup()
-    g = jax.grad(loss)(params)
-    for i in range(2):
-        fd = central_fd(loss, params, "sphere_illum", (i,), 1e-2)
-        ad = float(g.sphere_illum[i])
-        np.testing.assert_allclose(ad, fd, rtol=2e-2, atol=1e-6)
+    params, loss = setup_f64()
+    with enable_x64():
+        g = jax.grad(loss)(params)
+        for i in range(2):
+            fd = central_fd(loss, params, "sphere_illum", (i,), 1e-3)
+            ad = float(g.sphere_illum[i])
+            np.testing.assert_allclose(ad, fd, rtol=2e-3, atol=1e-9)
 
 
 def test_color_gradient_matches_fd():
-    params, loss = setup()
-    g = jax.grad(loss)(params)
-    for idx in [(0, 0), (0, 2), (1, 1)]:
-        fd = central_fd(loss, params, "sphere_color", idx, 1e-2)
-        ad = float(g.sphere_color[idx])
-        np.testing.assert_allclose(ad, fd, rtol=3e-2, atol=1e-6)
+    params, loss = setup_f64()
+    with enable_x64():
+        g = jax.grad(loss)(params)
+        for idx in [(0, 0), (0, 2), (1, 1)]:
+            fd = central_fd(loss, params, "sphere_color", idx, 1e-3)
+            ad = float(g.sphere_color[idx])
+            np.testing.assert_allclose(ad, fd, rtol=5e-3, atol=1e-9)
 
 
 def test_brdf_param_gradient_matches_fd():
+    params, loss = setup_f64()
+    with enable_x64():
+        g = jax.grad(loss)(params)
+        fd = central_fd(loss, params, "sphere_param", (0,), 1e-3)
+        np.testing.assert_allclose(
+            float(g.sphere_param[0]), fd, rtol=5e-3, atol=1e-9
+        )
+
+
+def test_f32_gradient_matches_f64_gradient():
+    """The production f32 gradient agrees with the f64 ground truth —
+    closing the loop: f64 AD == f64 FD (above), f32 AD == f64 AD (here)."""
     params, loss = setup()
-    g = jax.grad(loss)(params)
-    fd = central_fd(loss, params, "sphere_param", (0,), 1e-2)
-    np.testing.assert_allclose(float(g.sphere_param[0]), fd, rtol=3e-2, atol=1e-6)
+    g32 = jax.grad(loss)(params)
+    params64, loss64 = setup_f64()
+    with enable_x64():
+        g64 = jax.grad(loss64)(params64)
+    for field in ["sphere_illum", "sphere_color", "sphere_param"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(g32, field), np.float64),
+            np.asarray(getattr(g64, field)),
+            rtol=2e-2,
+            atol=1e-6,
+        )
 
 
 def test_geometry_gradient_matches_fd_ops_level():
