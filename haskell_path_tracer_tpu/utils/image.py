@@ -69,8 +69,23 @@ def write_ppm(path: str, rgb8: np.ndarray) -> None:
 
 
 def save_render(path: str, image, exposure: float = 1.0, gamma: float = 2.2):
-    """Tonemap a normalized radiance image and write PNG (or PPM by suffix)."""
-    rgb8 = tonemap(np.asarray(image), exposure=exposure, gamma=gamma)
+    """Tonemap a normalized radiance image and write PNG (or PPM by suffix).
+
+    Uses the native C++ tonemap + encoder (runtime/native) when built; the
+    pure-Python path above is the always-available fallback and the
+    behavioral spec the native path is tested against."""
+    from ..runtime import native
+
+    img = np.asarray(image)
+    if native.available():
+        rgb8 = native.tonemap_rgb8(
+            np.ascontiguousarray(img, np.float32), exposure, gamma
+        )
+        if not path.endswith(".ppm"):
+            native.write_png(path, rgb8)
+            return path
+    else:
+        rgb8 = tonemap(img, exposure=exposure, gamma=gamma)
     if path.endswith(".ppm"):
         write_ppm(path, rgb8)
     else:
