@@ -58,12 +58,18 @@ def _glossy_sample(ray_d, normal, rot_vec, p):
     return nxt, b
 
 
-def _dielectric_sample(ray_d, normal, u, ior):
-    """Glass: Schlick-Fresnel choice between reflection and refraction.
+def dielectric_split(ray_d, normal, ior):
+    """Glass: deterministic reflect/refract decomposition.
 
-    `u` is a uniform in [0,1) per lane; `ior` the index of refraction.
-    Returns (direction, weight) with weight 1 (the stochastic branch choice
-    is already importance-sampled by the Fresnel probability).
+    Returns (refl_dir, refr_dir, reflect_weight) where `reflect_weight` is
+    the Schlick-Fresnel reflectance (1.0 under total internal reflection,
+    in which case `refr_dir` is a zero-weight placeholder).  An unbiased
+    estimator either *splits* the ray into both branches with weights
+    (F, 1-F) — the wavefront path (`render_sample_wavefront_split`), the
+    capability the reference's `expand` stubbed
+    (/root/reference/src/Scene/Trace.hs:116-118) — or *chooses* one branch
+    with probability F (the single-ray integrators via `sample`); the two
+    estimators have identical expectation.
     """
     cos_i = -linalg.dot(ray_d, normal)
     inside = cos_i < 0.0
@@ -81,14 +87,25 @@ def _dielectric_sample(ray_d, normal, u, ior):
 
     r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
     fresnel = r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
-    reflect_prob = jnp.where(tir, 1.0, fresnel)
+    reflect_weight = jnp.where(tir, 1.0, fresnel)
 
     refl = linalg.reflect(ray_d, n)
     refr = linalg.normalize_safe(
         eta[..., None] * ray_d + (eta * cos_i - cos_t)[..., None] * n
     )
+    return refl, refr, reflect_weight
+
+
+def _dielectric_sample(ray_d, normal, u, ior):
+    """Stochastic one-branch estimator of `dielectric_split`.
+
+    `u` is a uniform in [0,1) per lane.  Returns (direction, weight) with
+    weight 1: the branch choice is importance-sampled by the Fresnel
+    probability, so the weights cancel.
+    """
+    refl, refr, reflect_prob = dielectric_split(ray_d, normal, ior)
     direction = jnp.where((u < reflect_prob)[..., None], refl, refr)
-    return direction, jnp.ones_like(cos_i)
+    return direction, jnp.ones_like(reflect_prob)
 
 
 def sample(hit: Hit, ray_d: jnp.ndarray, rng_state: jnp.ndarray):
