@@ -27,6 +27,7 @@ from .models.objects import (
     BRDF_DIELECTRIC,
 )
 from .models.world import initial_camera, main_scene
+from .models.io import load_scene, save_scene
 from .models.camera import primary_rays
 from .render.integrator import (
     make_accumulator,
@@ -34,5 +35,13 @@ from .render.integrator import (
     render_sample_inline,
     trace_inline,
 )
+from .render.wavefront import (
+    render_batch_wavefront,
+    render_sample_wavefront,
+    render_sample_wavefront_split,
+)
+from .render.nee import render_batch_physical, render_sample_physical
+from .render.renderer import Renderer
+from .utils.config import RenderConfig
 
 __version__ = "0.1.0"

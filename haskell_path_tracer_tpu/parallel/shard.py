@@ -54,9 +54,16 @@ def render_sharded(
     mesh: Mesh,
     num_bounces: int = 15,
     russian_roulette: bool = False,
+    algorithm: str = "inline",
+    nee: bool = True,
 ):
     """Tile-sharded progressive render step (jit-compatible; `spp`,
-    `num_bounces` static)."""
+    `num_bounces`, `algorithm` static).
+
+    `algorithm`: "inline" (parity megakernel) or "physical" (corrected
+    BRDFs + NEE, render/nee.py).  Both trace each device's row block
+    locally with zero collectives — NEE shadow rays stay on-chip because
+    the scene is replicated."""
     full_height = acc.color.shape[0]
     n_tile = mesh.shape[TILE_AXIS]
     assert full_height % n_tile == 0, (full_height, n_tile)
@@ -64,6 +71,19 @@ def render_sharded(
 
     def local_step(scene, camera, acc_block):
         row0 = jax.lax.axis_index(TILE_AXIS) * block_h
+        if algorithm == "physical":
+            from ..render.nee import render_batch_physical
+
+            return render_batch_physical(
+                scene,
+                camera,
+                acc_block,
+                spp,
+                num_bounces,
+                nee=nee,
+                row_offset=row0,
+                full_height=full_height,
+            )
         return integrator.render_batch_inline(
             scene,
             camera,

@@ -1,0 +1,293 @@
+"""Physically-based mode with next-event estimation (NEE).
+
+The reference's BRDF math is self-admittedly wrong
+(/root/reference/src/Scene/Trace.hs:393: "definitely not correct") and its
+only light transport is blind BSDF sampling.  SURVEY.md §7 ("hard parts")
+commits this framework to exposing *corrected* BRDFs behind a flag next to
+the parity path — this module is that flag, plus explicit light sampling:
+
+  * Matte surfaces use true Lambertian cosine-weighted sampling
+    (pdf = cos/pi, so the throughput modifier is exactly the albedo);
+  * Glossy surfaces are perfect mirrors tinted by albedo (a delta lobe —
+    the physical idealization of the reference's jittered reflection);
+  * Dielectrics reuse the Fresnel-stochastic glass of `ops/brdf.py`;
+  * At every matte hit a shadow ray samples one emissive sphere by uniform
+    cone (solid-angle) sampling — the classic NEE estimator.  Emission is
+    then collected from BSDF hits only when the previous bounce was
+    specular (or the emitter is a plane, which NEE does not sample), which
+    makes the estimator unbiased with no double counting.
+
+NEE is what makes small bright lights tractable (the reference's scene has
+two — /root/reference/src/Scene/World.hs with illuminance 6942/4420 — and
+pure BSDF sampling almost never finds them); it is also the benchmark
+requirement of BASELINE.md config #4 (1080p / 1k spheres / NEE / 256 spp).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import linalg
+from ..models.camera import primary_rays
+from ..models.objects import (
+    BRDF_DIELECTRIC,
+    BRDF_GLOSSY,
+    BRDF_MATTE,
+    Accumulator,
+    Camera,
+    Rays,
+    Scene,
+)
+from ..ops import brdf as brdf_ops
+from ..ops import rng as rng_ops
+from ..ops.intersect import EPSILON, nearest_hit
+
+TWO_PI = np.float32(2.0 * np.pi)
+
+
+def _orthonormal_basis(w):
+    """Branchless ONB around unit vector w (Duff et al. 2017). Returns
+    (b1, b2) with (b1, b2, w) right-handed orthonormal."""
+    z = w[..., 2]
+    sign = jnp.where(z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + z)
+    b = w[..., 0] * w[..., 1] * a
+    b1 = jnp.stack(
+        [1.0 + sign * w[..., 0] ** 2 * a, sign * b, -sign * w[..., 0]],
+        axis=-1,
+    )
+    b2 = jnp.stack([b, sign + w[..., 1] ** 2 * a, -w[..., 1]], axis=-1)
+    return b1, b2
+
+
+def sample_cosine_hemisphere(normal, u1, u2):
+    """Cosine-weighted direction about `normal`; pdf = cos(theta)/pi."""
+    r = jnp.sqrt(u1)
+    phi = TWO_PI * u2
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    z = jnp.sqrt(jnp.maximum(1.0 - u1, 1e-12))
+    b1, b2 = _orthonormal_basis(normal)
+    return (
+        b1 * x[..., None] + b2 * y[..., None] + normal * z[..., None]
+    )
+
+
+def sample_physical(hit, ray_d, rng_state):
+    """Physically-based bounce sampling (three RNG draws per lane).
+
+    Returns (origin, direction, throughput_mod, is_specular, new_state).
+    """
+    u, rng = rng_ops.gen_vec(rng_state)  # 3 draws in [-1, 1]
+    u1 = (u[..., 0] + 1.0) * 0.5
+    u2 = (u[..., 1] + 1.0) * 0.5
+    u3 = (u[..., 2] + 1.0) * 0.5
+
+    matte_dir = sample_cosine_hemisphere(hit.normal, u1, u2)
+    glossy_dir = linalg.reflect(ray_d, hit.normal)
+    refl, refr, f_refl = brdf_ops.dielectric_split(
+        ray_d, hit.normal, hit.brdf_param
+    )
+    diel_dir = jnp.where((u3 < f_refl)[..., None], refl, refr)
+
+    is_glossy = hit.brdf_kind == BRDF_GLOSSY
+    is_diel = hit.brdf_kind == BRDF_DIELECTRIC
+    direction = jnp.where(
+        is_diel[..., None],
+        diel_dir,
+        jnp.where(is_glossy[..., None], glossy_dir, matte_dir),
+    )
+    # Lambert: (albedo/pi) * cos / (cos/pi) = albedo.  Mirror/glass: albedo
+    # (delta lobes, Fresnel choice importance-sampled).
+    tmod = hit.color
+    is_specular = is_glossy | is_diel
+    origin = hit.point + direction * EPSILON
+    return origin, direction, tmod, is_specular, rng
+
+
+def _light_fields(scene: Scene):
+    """Emissive-sphere table: (mask [N], cdf [N], count)."""
+    illum = scene.spheres.material.illuminance
+    mask = illum > 0.0
+    count = jnp.sum(mask.astype(jnp.float32))
+    cdf = jnp.cumsum(mask.astype(jnp.float32))
+    return mask, cdf, count
+
+
+def sample_light_cone(scene: Scene, point, u_select, u1, u2):
+    """Uniformly pick an emissive sphere, then a direction in its
+    subtended cone.
+
+    Returns (dir [..., 3], inv_pdf [...], light_idx [...] i32) where
+    `inv_pdf` already folds in the 1/num_lights selection probability:
+    contribution = f * cos * L_e * inv_pdf.  Lanes with no valid light get
+    inv_pdf = 0.
+    """
+    mask, cdf, count = _light_fields(scene)
+    # Uniform selection among lights: target rank in [1, count].
+    rank = jnp.floor(u_select * count) + 1.0
+    rank = jnp.clip(rank, 1.0, jnp.maximum(count, 1.0))
+    light_idx = jnp.argmax(
+        cdf[None, ...] >= rank[..., None], axis=-1
+    ).astype(jnp.int32)
+
+    center = scene.spheres.pos[light_idx]
+    radius = scene.spheres.radius[light_idx]
+
+    to_c = center - point
+    dc2 = linalg.quadrance(to_c)
+    dc = jnp.sqrt(jnp.maximum(dc2, 1e-12))
+    sin2_max = jnp.clip(radius * radius / jnp.maximum(dc2, 1e-12), 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+
+    cos_t = 1.0 - u1 * (1.0 - cos_max)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = TWO_PI * u2
+    w = to_c / dc[..., None]
+    b1, b2 = _orthonormal_basis(w)
+    direction = (
+        b1 * (sin_t * jnp.cos(phi))[..., None]
+        + b2 * (sin_t * jnp.sin(phi))[..., None]
+        + w * cos_t[..., None]
+    )
+
+    solid_angle = TWO_PI * (1.0 - cos_max)  # = 1/pdf_dir
+    # Invalid when: no lights, or the shade point is inside the light
+    # (dc <= r -> cos_max = 0 handles the cone, but the shadow test would
+    # self-hit; keep it, it converges), or degenerate zero solid angle.
+    valid = (count > 0) & (solid_angle > 1e-9)
+    inv_pdf = jnp.where(valid, solid_angle * count, 0.0)
+    return direction, inv_pdf, light_idx
+
+
+def trace_physical(
+    scene: Scene,
+    rays: Rays,
+    rng_state: jnp.ndarray,
+    num_bounces: int = 8,
+    nee: bool = True,
+):
+    """Physically-based path trace; returns (radiance, new rng).
+
+    With `nee=False` this is brute-force BSDF-sampling path tracing over
+    the corrected BRDFs — the ground-truth estimator the NEE path is
+    validated against (tests/test_nee.py: identical means, far lower
+    variance)."""
+    n_spheres = scene.spheres.count
+
+    def body(_, state):
+        ray_o, ray_d, rng, result, throughput, prev_spec = state
+        hit = nearest_hit(ray_o, ray_d, scene)
+        dead = linalg.near_zero(throughput) | ~hit.hit
+
+        # Emission pickup: BSDF-found emission counts only off specular
+        # chains (or from planes, which NEE never samples); otherwise NEE
+        # already accounted for it.
+        is_plane_hit = hit.prim >= n_spheres
+        if nee:
+            take_emit = prev_spec | is_plane_hit
+        else:
+            take_emit = jnp.ones_like(prev_spec)
+        emit = brdf_ops.emittance(hit) * throughput
+        new_result = result + jnp.where(take_emit[..., None], emit, 0.0)
+
+        next_o, next_d, tmod, is_spec, rng2 = sample_physical(
+            hit, ray_d, rng
+        )
+
+        if nee:
+            un, rng2 = rng_ops.gen_vec(rng2)  # 3 draws in [-1, 1]
+            us = (un + 1.0) * 0.5
+            l_dir, inv_pdf, l_idx = sample_light_cone(
+                scene, hit.point, us[..., 0], us[..., 1], us[..., 2]
+            )
+            cos_i = linalg.dot(l_dir, hit.normal)
+            shadow_o = hit.point + l_dir * EPSILON
+            sh = nearest_hit(shadow_o, l_dir, scene)
+            visible = sh.hit & (sh.prim == l_idx)
+            # Only matte surfaces have a non-delta BRDF to evaluate.
+            is_matte = hit.brdf_kind == BRDF_MATTE
+            l_emit = brdf_ops.emittance(sh)  # the light's L_e at the hit
+            w = (
+                visible
+                & is_matte
+                & (cos_i > 0.0)
+            )
+            contrib = (
+                throughput
+                * (hit.color / jnp.pi)
+                * l_emit
+                * (cos_i * inv_pdf)[..., None]
+            )
+            new_result = new_result + jnp.where(w[..., None], contrib, 0.0)
+
+        new_throughput = throughput * tmod
+
+        d3 = dead[..., None]
+        return (
+            jnp.where(d3, ray_o, next_o),
+            jnp.where(d3, ray_d, next_d),
+            jnp.where(dead[..., None], rng, rng2),
+            jnp.where(d3, result, new_result),
+            jnp.where(d3, 0.0, new_throughput),
+            jnp.where(dead, prev_spec, is_spec),
+        )
+
+    zeros = jnp.zeros_like(rays.origin)
+    init = (
+        rays.origin,
+        rays.direction,
+        rng_state,
+        zeros,
+        jnp.ones_like(rays.origin),
+        jnp.ones(rays.origin.shape[:-1], bool),  # camera rays see lights
+    )
+    _, _, rng_out, result, _, _ = jax.lax.fori_loop(
+        0, num_bounces, body, init
+    )
+    return result, rng_out
+
+
+def render_sample_physical(
+    scene: Scene,
+    camera: Camera,
+    acc: Accumulator,
+    num_bounces: int = 8,
+    nee: bool = True,
+    row_offset=0,
+    full_height: int | None = None,
+) -> Accumulator:
+    """One progressive sample of the physical integrator into the
+    accumulator (same contract as `render_sample_inline`)."""
+    height, width = acc.color.shape[:2]
+    rays = primary_rays(camera, width, height, row_offset, full_height)
+    radiance, rng_out = trace_physical(
+        scene, rays, acc.rng, num_bounces, nee=nee
+    )
+    return Accumulator(
+        color=acc.color + radiance,
+        rng=rng_out,
+        iterations=acc.iterations + 1,
+    )
+
+
+def render_batch_physical(
+    scene: Scene,
+    camera: Camera,
+    acc: Accumulator,
+    spp: int,
+    num_bounces: int = 8,
+    nee: bool = True,
+    row_offset=0,
+    full_height: int | None = None,
+) -> Accumulator:
+    """`spp` physical/NEE samples in one on-device dispatch."""
+
+    def body(_, a):
+        return render_sample_physical(
+            scene, camera, a, num_bounces, nee, row_offset, full_height
+        )
+
+    return jax.lax.fori_loop(0, spp, body, acc)

@@ -58,6 +58,14 @@ class Renderer:
                 num_bounces=config.bounces,
                 russian_roulette=config.russian_roulette,
             )
+        elif config.algorithm == "physical":
+            from .nee import render_batch_physical
+
+            step = partial(
+                render_batch_physical,
+                num_bounces=config.bounces,
+                nee=config.nee,
+            )
         else:
             raise ValueError(f"unknown algorithm {config.algorithm!r}")
         # spp must be static (it is a fori_loop bound); donate the

@@ -23,8 +23,12 @@ class RenderConfig:
     width: int = 800
     height: int = 600
     # Algorithm switch — the reference's `--variant streams|inline`
-    # (Main.hs:110-132); `wavefront` is the redesigned `streams`.
+    # (Main.hs:110-132); `wavefront` is the redesigned `streams`;
+    # `physical` is the corrected-BRDF + NEE mode (render/nee.py), the
+    # non-parity path SURVEY.md §7 commits to exposing behind a flag.
     algorithm: str = "inline"
+    # Next-event estimation (physical mode only).
+    nee: bool = True
     # Inline kernel backend: "auto" (Pallas megakernel on TPU, XLA
     # elsewhere), "xla", or "pallas".
     kernel: str = "auto"
@@ -54,10 +58,14 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--height", type=int, default=d.height)
     parser.add_argument(
         "--variant",
-        choices=["inline", "wavefront", "streams"],
+        choices=["inline", "wavefront", "streams", "physical"],
         default="inline",
         help="rendering algorithm (streams is an alias for wavefront, "
-        "matching the reference CLI)",
+        "matching the reference CLI; physical = corrected BRDFs + NEE)",
+    )
+    parser.add_argument(
+        "--no-nee", dest="nee", action="store_false", default=True,
+        help="disable next-event estimation in physical mode",
     )
     parser.add_argument("--bounces", type=int, default=d.bounces)
     parser.add_argument("--spp", type=int, default=64, help="total samples")
@@ -77,5 +85,6 @@ def config_from_args(args: argparse.Namespace) -> RenderConfig:
         bounces=args.bounces,
         reseed_interval=args.reseed_interval,
         russian_roulette=args.russian_roulette,
+        nee=getattr(args, "nee", True),
         seed=args.seed,
     )
