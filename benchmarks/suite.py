@@ -1,0 +1,271 @@
+"""Benchmark suite over the BASELINE.md configs.
+
+Prints one JSON line per config (bench.py at the repo root remains the
+single-line headline the driver scrapes).  Run on the TPU chip:
+
+    python benchmarks/suite.py            # all configs
+    python benchmarks/suite.py 1 4        # a subset
+
+Configs (BASELINE.json):
+  1. parity scene  — 1 diffuse sphere + plane, 256x256 / 4 spp / 2 bounces
+  2. Cornell-ish   — 8 spheres, 512x512 / 16 spp / 4 bounces
+  3. dielectric    — glass with ray splitting, 512x512 / 64 spp / 8 bounces
+  4. large scene   — 1920x1088, 1000 spheres, NEE, 256 spp
+  5. inverse       — gradient step throughput at 512x512 (multi-host
+                     scaling is exercised by __graft_entry__.dryrun_multichip)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+
+def _timeit(fn, n=3):
+    out = fn()
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _report(config, name, rays, seconds, extra=None):
+    rec = {
+        "config": config,
+        "metric": name,
+        "value": rays / seconds,
+        "unit": "rays/s",
+        "seconds": round(seconds, 4),
+    }
+    rec.update(extra or {})
+    print(json.dumps(rec), flush=True)
+
+
+def parity_scene():
+    from haskell_path_tracer_tpu.models.objects import (
+        BRDF_MATTE,
+        Scene,
+        make_materials,
+        make_planes,
+        make_spheres,
+    )
+
+    s = make_spheres(
+        [[0.0, 0.0, -5.0]],
+        [1.5],
+        make_materials([([0.8, 0.5, 0.4], 1.5, BRDF_MATTE, 1.0)]),
+    )
+    p = make_planes(
+        [[0.0, -3.0, 0.0]],
+        [[0.0, 1.0, 0.0]],
+        make_materials([([0.6, 0.7, 0.6], 0.0, BRDF_MATTE, 1.2)]),
+    )
+    return Scene(spheres=s, planes=p)
+
+
+def cornell_scene():
+    from haskell_path_tracer_tpu.models.objects import (
+        BRDF_GLOSSY,
+        BRDF_MATTE,
+        Scene,
+        make_materials,
+        make_planes,
+        make_spheres,
+    )
+
+    rng = np.random.default_rng(0)
+    pos = rng.uniform([-3, -2, -8], [3, 2, -4], (8, 3))
+    mats = make_materials(
+        [
+            (rng.uniform(0.2, 0.9, 3).tolist(),
+             30.0 if i == 0 else 0.0,
+             BRDF_GLOSSY if i % 3 == 2 else BRDF_MATTE,
+             0.9)
+            for i in range(8)
+        ]
+    )
+    s = make_spheres(pos.tolist(), rng.uniform(0.4, 1.0, 8).tolist(), mats)
+    p = make_planes(
+        [[0, -3, 0], [0, 8, 0]],
+        [[0, 1, 0], [0, -1, 0]],
+        make_materials(
+            [([0.7, 0.7, 0.7], 0.0, BRDF_MATTE, 1.2),
+             ([0.8, 0.8, 0.8], 0.0, BRDF_MATTE, 1.0)]
+        ),
+    )
+    return Scene(spheres=s, planes=p)
+
+
+def glass_scene():
+    from haskell_path_tracer_tpu.models.objects import (
+        BRDF_DIELECTRIC,
+        BRDF_MATTE,
+        Scene,
+        make_materials,
+        make_planes,
+        make_spheres,
+    )
+
+    s = make_spheres(
+        [[0.0, 0.0, -4.0], [1.8, 0.5, -6.0]],
+        [1.3, 0.9],
+        make_materials(
+            [([0.97, 0.98, 1.0], 0.0, BRDF_DIELECTRIC, 1.5),
+             ([0.9, 0.95, 1.0], 0.0, BRDF_DIELECTRIC, 1.33)]
+        ),
+    )
+    p = make_planes(
+        [[0.0, 0.0, -9.0], [0.0, -3.0, 0.0]],
+        [[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]],
+        make_materials(
+            [([1.0, 0.9, 0.7], 3.0, BRDF_MATTE, 1.0),
+             ([0.5, 0.5, 0.6], 0.0, BRDF_MATTE, 1.2)]
+        ),
+    )
+    return Scene(spheres=s, planes=p)
+
+
+def big_scene(n=1000):
+    from haskell_path_tracer_tpu.models.objects import (
+        BRDF_MATTE,
+        Scene,
+        make_materials,
+        make_planes,
+        make_spheres,
+    )
+
+    rng = np.random.default_rng(7)
+    pos = rng.uniform([-30, -2.5, -60], [30, 10, -8], (n, 3))
+    radius = rng.uniform(0.2, 0.9, n)
+    illum = np.where(rng.random(n) < 0.01, 50.0, 0.0)  # ~10 lights
+    mats = make_materials(
+        [
+            (rng.uniform(0.2, 0.9, 3).tolist(), float(illum[i]),
+             BRDF_MATTE, 1.0)
+            for i in range(n)
+        ]
+    )
+    s = make_spheres(pos.tolist(), radius.tolist(), mats)
+    p = make_planes(
+        [[0.0, -3.0, 0.0]],
+        [[0.0, 1.0, 0.0]],
+        make_materials([([0.6, 0.6, 0.6], 0.0, BRDF_MATTE, 1.0)]),
+    )
+    return Scene(spheres=s, planes=p)
+
+
+def config1():
+    import haskell_path_tracer_tpu as hpt
+
+    w, h, spp, b = 256, 256, 4, 2
+    scene, cam = parity_scene(), hpt.initial_camera()
+    acc = hpt.make_accumulator(w, h, seed=0)
+    step = jax.jit(
+        lambda s, c, a: hpt.render_batch_inline(s, c, a, spp=spp, num_bounces=b)
+    )
+    dt = _timeit(lambda: step(scene, cam, acc))
+    _report(1, "parity_256x256x4sppx2b_inline", w * h * spp * b, dt)
+
+
+def config2():
+    import haskell_path_tracer_tpu as hpt
+    from haskell_path_tracer_tpu.render.integrator import render_batch_auto
+
+    w, h, spp, b = 512, 512, 16, 4
+    scene, cam = cornell_scene(), hpt.initial_camera()
+    acc = hpt.make_accumulator(w, h, seed=0)
+    step = jax.jit(
+        lambda s, c, a: render_batch_auto(s, c, a, spp=spp, num_bounces=b)
+    )
+    dt = _timeit(lambda: step(scene, cam, acc))
+    _report(2, "cornell8_512x512x16sppx4b_auto", w * h * spp * b, dt)
+
+
+def config3():
+    import haskell_path_tracer_tpu as hpt
+    from haskell_path_tracer_tpu.models.objects import Camera
+
+    w, h, spp, b = 512, 512, 64, 8
+    scene = glass_scene()
+    cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
+    acc = hpt.make_accumulator(w, h, seed=0)
+
+    def run(s, c, a):
+        def body(_, a):
+            return hpt.render_sample_wavefront_split(
+                s, c, a, num_bounces=b, queue_factor=2.0
+            )
+        return jax.lax.fori_loop(0, spp, body, a)
+
+    step = jax.jit(run)
+    dt = _timeit(lambda: step(scene, cam, acc), n=2)
+    _report(3, "glass_split_512x512x64sppx8b_wavefront", w * h * spp * b, dt)
+
+
+def config4():
+    import haskell_path_tracer_tpu as hpt
+    from haskell_path_tracer_tpu.models.objects import Camera
+
+    # The BASELINE workload is 256 spp; throughput is measured on a
+    # 16-spp dispatch of the same shape (the 256-spp render is 16 such
+    # dispatches — progressive rendering makes per-dispatch throughput
+    # the governing number).
+    w, h, spp, b = 1920, 1088, 16, 4
+    scene = big_scene(1000)
+    cam = Camera.create([0.0, 2.0, 0.0], [0.2, 0.0, 0.0], 90.0)
+    acc = hpt.make_accumulator(w, h, seed=0)
+    step = jax.jit(
+        lambda s, c, a: hpt.render_batch_physical(
+            s, c, a, spp=spp, num_bounces=b, nee=True
+        )
+    )
+    dt = _timeit(lambda: step(scene, cam, acc), n=1)
+    # NEE traces 2 rays per bounce (bsdf + shadow).
+    _report(
+        4, "big1000_nee_1920x1088x16sppx4b_physical",
+        w * h * spp * b * 2, dt, {"note": "rays counts bsdf+shadow"},
+    )
+
+
+def config5():
+    import haskell_path_tracer_tpu as hpt
+    from haskell_path_tracer_tpu.diff import grad as G
+    from haskell_path_tracer_tpu.ops.rng import gen_seeds
+
+    w, h, b = 512, 512, 4
+    scene, cam = cornell_scene(), hpt.initial_camera()
+    rng = gen_seeds((h, w), seed=1)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    params = G.scene_to_params(scene)
+    vg = jax.jit(
+        jax.value_and_grad(
+            lambda p: G.image_loss(p, scene, cam, target, rng, num_bounces=b)
+        )
+    )
+    dt = _timeit(lambda: vg(params))
+    # fwd + rematerialized bwd ~ 3x fwd ray work.
+    _report(5, "invrender_grad_512x512x1sppx4b", w * h * b * 3, dt,
+            {"note": "fwd+bwd ray segments"})
+
+
+def main():
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
+    for n in which:
+        globals()[f"config{n}"]()
+
+
+if __name__ == "__main__":
+    main()

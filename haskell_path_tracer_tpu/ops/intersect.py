@@ -127,6 +127,97 @@ def _field_table(scene: Scene) -> jnp.ndarray:
     return jnp.concatenate([sph, pln], axis=0)
 
 
+# Above this primitive count, resolve t/prim with a chunked scan and the
+# payload with a row gather: the [rays, P] distance plane and the one-hot
+# matmul otherwise materialize O(rays * P) — 8+ GB at 2M rays x 1k prims
+# (measured HBM OOM at 1920x1088 with 1000 spheres).
+CHUNKED_THRESHOLD = 128
+CHUNK_SIZE = 128
+
+
+def _nearest_t_prim_small(ray_o, ray_d, scene: Scene):
+    """Direct formulation: one [rays, P] plane + masked-iota min."""
+    ts = sphere_distances(ray_o, ray_d, scene.spheres)  # [..., N]
+    tp = plane_distances(ray_o, ray_d, scene.planes)  # [..., M]
+    all_t = jnp.concatenate([ts, tp], axis=-1)  # [..., P]
+    num_prims = all_t.shape[-1]
+    t = jnp.min(all_t, axis=-1)
+    iota = jnp.arange(num_prims, dtype=jnp.int32)
+    prim = jnp.min(
+        jnp.where(all_t == t[..., None], iota, num_prims), axis=-1
+    ).astype(jnp.int32)
+    prim = jnp.minimum(prim, num_prims - 1)
+    return t, prim
+
+
+def _nearest_t_prim_chunked(ray_o, ray_d, scene: Scene):
+    """lax.scan over primitive chunks: the intermediate is [rays, CHUNK]
+    instead of [rays, P].  Strict `<` keeps the first-primitive tie-break
+    across and within chunks (argmin returns the first minimum)."""
+    from ..models.objects import Planes, Spheres
+
+    n = scene.spheres.count
+    pad = (-n) % CHUNK_SIZE
+    # Padded entries are masked to INFINITE inside the body (explicit mask
+    # rather than sentinel geometry: huge coordinates overflow the f32
+    # quadrance into inf-inf = NaN and poison the min).
+    pos = jnp.concatenate(
+        [scene.spheres.pos, jnp.zeros((pad, 3), jnp.float32)]
+    )
+    radius = jnp.concatenate(
+        [scene.spheres.radius, jnp.zeros((pad,), jnp.float32)]
+    )
+    n_chunks = (n + pad) // CHUNK_SIZE
+    pos_c = pos.reshape(n_chunks, CHUNK_SIZE, 3)
+    rad_c = radius.reshape(n_chunks, CHUNK_SIZE)
+
+    shape = ray_o.shape[:-1]
+    init = (
+        jnp.full(shape, INFINITE, jnp.float32),
+        jnp.zeros(shape, jnp.int32),
+    )
+
+    def body(carry, chunk):
+        best_t, best_p = carry
+        c_pos, c_rad, offset = chunk
+        ts = sphere_distances(
+            ray_o, ray_d, Spheres(pos=c_pos, radius=c_rad, material=None)
+        )  # [..., CHUNK]
+        valid = offset + jnp.arange(CHUNK_SIZE, dtype=jnp.int32) < n
+        ts = jnp.where(valid, ts, INFINITE)
+        c_t = jnp.min(ts, axis=-1)
+        iota = jnp.arange(CHUNK_SIZE, dtype=jnp.int32)
+        c_arg = jnp.min(
+            jnp.where(ts == c_t[..., None], iota, CHUNK_SIZE), axis=-1
+        ).astype(jnp.int32)
+        better = c_t < best_t
+        return (
+            jnp.where(better, c_t, best_t),
+            jnp.where(better, offset + jnp.minimum(c_arg, CHUNK_SIZE - 1),
+                      best_p),
+        ), None
+
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * CHUNK_SIZE
+    if n_chunks:
+        (t, prim), _ = jax.lax.scan(body, init, (pos_c, rad_c, offsets))
+    else:
+        t, prim = init
+
+    # Planes (few) directly.
+    m = scene.planes.count
+    if m:
+        tp = plane_distances(ray_o, ray_d, scene.planes)  # [..., M]
+        pt = jnp.min(tp, axis=-1)
+        iota = jnp.arange(m, dtype=jnp.int32)
+        parg = jnp.min(
+            jnp.where(tp == pt[..., None], iota, m), axis=-1
+        ).astype(jnp.int32)
+        better = pt < t
+        t = jnp.where(better, pt, t)
+        prim = jnp.where(better, n + jnp.minimum(parg, m - 1), prim)
+    return t, prim
+
+
 def nearest_hit(ray_o, ray_d, scene: Scene) -> Hit:
     """Resolve the nearest intersection of each ray with the scene.
 
@@ -134,40 +225,44 @@ def nearest_hit(ray_o, ray_d, scene: Scene) -> Hit:
     min by distance, first primitive wins ties (primitive order is spheres
     then planes, as in `mapScene`, Util.hs:156-158).
 
-    TPU note: the obvious argmin + per-field gather formulation is ~18x
-    slower on TPU than this one (variadic reduces and gathers over a tiny
-    minor axis serialize badly).  Instead: a plain min-reduce for t, a
-    masked-iota min-reduce for the winning index (first minimum wins ties,
-    preserving parity), and ONE one-hot matmul against a packed field table
-    — the payload gather rides the MXU and scales to thousands of
-    primitives.
+    TPU note (small scenes): the obvious argmin + per-field gather
+    formulation is ~18x slower on TPU than a plain min-reduce for t, a
+    masked-iota min-reduce for the winning index, and ONE one-hot matmul
+    against a packed field table — the payload gather rides the MXU.
+    Above CHUNKED_THRESHOLD primitives the [rays, P] intermediates no
+    longer fit (O(rays * P) HBM), so t/prim come from a chunked
+    `lax.scan` and the payload from a row gather.
     """
-    ts = sphere_distances(ray_o, ray_d, scene.spheres)  # [..., N]
-    tp = plane_distances(ray_o, ray_d, scene.planes)  # [..., M]
-    all_t = jnp.concatenate([ts, tp], axis=-1)  # [..., P]
-    num_prims = all_t.shape[-1]
-    t = jnp.min(all_t, axis=-1)
+    num_prims = scene.num_primitives
+    chunked = num_prims > CHUNKED_THRESHOLD
+    if chunked:
+        t, prim = _nearest_t_prim_chunked(ray_o, ray_d, scene)
+    else:
+        t, prim = _nearest_t_prim_small(ray_o, ray_d, scene)
     hit = t < INFINITE
 
-    iota = jnp.arange(num_prims, dtype=jnp.int32)
-    prim = jnp.min(
-        jnp.where(all_t == t[..., None], iota, num_prims), axis=-1
-    ).astype(jnp.int32)
+    if chunked:
+        fields = _field_table(scene)[prim]  # [..., 8] row gather
+        kinds = jnp.concatenate(
+            [scene.spheres.material.brdf_kind, scene.planes.material.brdf_kind]
+        )
+        brdf_kind = kinds[prim]
+    else:
+        iota = jnp.arange(num_prims, dtype=jnp.int32)
+        onehot = (prim[..., None] == iota).astype(jnp.float32)  # [..., P]
+        fields = jax.numpy.matmul(
+            onehot, _field_table(scene), preferred_element_type=jnp.float32
+        )  # [..., 8] — exact: one-hot rows select exact table rows
+        sk = scene.spheres.material.brdf_kind.astype(jnp.float32)
+        pk = scene.planes.material.brdf_kind.astype(jnp.float32)
+        brdf_kind = jnp.round(
+            jnp.matmul(onehot, jnp.concatenate([sk, pk]))
+        ).astype(jnp.int32)
 
-    onehot = (prim[..., None] == iota).astype(jnp.float32)  # [..., P]
-    fields = jax.numpy.matmul(
-        onehot, _field_table(scene), preferred_element_type=jnp.float32
-    )  # [..., 8] — exact: one-hot rows select exact table rows
     aux = fields[..., 0:3]
     color = fields[..., 3:6]
     illuminance = fields[..., 6]
     brdf_param = fields[..., 7]
-
-    sk = scene.spheres.material.brdf_kind.astype(jnp.float32)
-    pk = scene.planes.material.brdf_kind.astype(jnp.float32)
-    brdf_kind = jnp.round(
-        jnp.matmul(onehot, jnp.concatenate([sk, pk]))
-    ).astype(jnp.int32)
 
     n_spheres = scene.spheres.count
     is_sphere = prim < n_spheres
