@@ -68,6 +68,44 @@ def compact_queue(
     return out, live[perm]
 
 
+def compact_and_enqueue(
+    queue: Sequence[jnp.ndarray],
+    live: jnp.ndarray,
+    items: Sequence[jnp.ndarray],
+    item_mask: jnp.ndarray,
+):
+    """Fused stable compaction + child enqueue via ONE key sort.
+
+    Produces a queue whose first slots are: live parents (original order),
+    then masked-in items/children (original order), then garbage.  Callers
+    must have flushed anything they need from dead lanes (the splitting
+    integrator writes radiance/RNG out at death), because dead lanes are
+    dropped, not swept to the back.
+
+    Why a sort: the cumsum + arbitrary-index scatter formulation of
+    `enqueue` inside a `while_loop` sent the XLA:TPU compiler into a
+    pathological path (compiles that never finish / kernel faults at
+    runtime); key-sort + gather is the formulation the TPU handles well.
+    Keys are unique by construction, so a plain (unstable) sort is
+    automatically stable.
+
+    Returns (merged arrays [Q], new live count) — arrays keep the queue's
+    capacity Q; overflow children (beyond capacity) are dropped.
+    """
+    q = live.shape[0]
+    iota = jnp.arange(q, dtype=jnp.int32)
+    parent_keys = jnp.where(live, iota, 2 * q + iota)
+    child_keys = jnp.where(item_mask, q + iota, 3 * q + iota)
+    order = jnp.argsort(jnp.concatenate([parent_keys, child_keys]))[:q]
+    merged = tuple(
+        jnp.concatenate([a, b])[order] for a, b in zip(queue, items)
+    )
+    n_live = jnp.sum(live, dtype=jnp.int32)
+    n_child = jnp.sum(item_mask, dtype=jnp.int32)
+    count = jnp.minimum(n_live + n_child, q)
+    return merged, count
+
+
 def enqueue(
     queue: Sequence[jnp.ndarray],
     count: jnp.ndarray,

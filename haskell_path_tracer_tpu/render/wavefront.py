@@ -47,7 +47,7 @@ from ..models.camera import primary_rays
 from ..models.objects import BRDF_DIELECTRIC, Accumulator, Camera, Scene
 from ..ops import brdf as brdf_ops
 from ..ops import rng as rng_ops
-from ..ops.compaction import compact_queue, enqueue
+from ..ops.compaction import compact_and_enqueue, compact_queue
 from ..ops.intersect import EPSILON, nearest_hit
 
 
@@ -299,17 +299,12 @@ def render_sample_wavefront_split(
             rng_out=rng_out,
         )
 
-        # Compact (live-first, stable) to maintain the enqueue invariant,
-        # then append children after the live block.
-        (o2, d2, px2, th2, rng3, pr2), live2 = compact_queue(
+        # Fused stable compaction + child enqueue (one key sort; dead
+        # lanes are dropped — their radiance/RNG were flushed above).
+        (o3, d3_, px3, th3, rng4, pr3), count2 = compact_and_enqueue(
             (new.ray_o, new.ray_d, new.pixel, new.throughput, new.rng,
              new.primary),
             new.live,
-        )
-        count = jnp.sum(live2).astype(jnp.int32)
-        (o3, d3_, px3, th3, rng4, pr3), count2 = enqueue(
-            (o2, d2, px2, th2, rng3, pr2),
-            count,
             (child_o, refr_dir, s.pixel, child_thpt, child_rng,
              jnp.zeros_like(s.primary)),
             child_mask,
