@@ -1,0 +1,132 @@
+"""Scaling-efficiency harness: sharded rendering/training throughput
+over a device mesh (BASELINE.md north star: ">= 85% scaling efficiency
+to >= 2 hosts").
+
+Measures the tile-sharded render step and the psum-reduced training step
+at 1, 2, 4, ... devices and reports efficiency relative to 1 device.
+On a real pod slice, run as-is (devices = real chips; add
+`jax.distributed.initialize` via parallel/multihost.py for multi-host).
+Without TPU hardware it runs on a forced-host-device CPU mesh
+(--force-cpu N) — numbers then validate the *harness and sharding
+semantics*, not hardware scaling (virtual devices share host cores).
+
+    python benchmarks/scaling.py --force-cpu 8 --width 256 --height 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--force-cpu", type=int, default=0,
+                   help="force N virtual CPU devices (testing the harness)")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--spp", type=int, default=4)
+    p.add_argument("--bounces", type=int, default=8)
+    p.add_argument("--train", action="store_true",
+                   help="also measure the sharded inverse-rendering step")
+    args = p.parse_args()
+
+    if args.force_cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.force_cpu}"
+        ).strip()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import haskell_path_tracer_tpu as hpt
+    from haskell_path_tracer_tpu.diff import grad as G
+    from haskell_path_tracer_tpu.ops.rng import gen_seeds
+    from haskell_path_tracer_tpu.parallel import mesh as M
+    from haskell_path_tracer_tpu.parallel.shard import (
+        place_accumulator,
+        render_sharded,
+        train_step_sharded,
+    )
+
+    devices = jax.devices()
+    print(json.dumps({"devices": len(devices), "kind": str(devices[0])}),
+          flush=True)
+
+    scene, cam = hpt.main_scene(), hpt.initial_camera()
+    w, h = args.width, args.height
+
+    def timeit(fn, n=5):
+        out = fn()
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn()
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    sizes = []
+    n = 1
+    while n <= len(devices):
+        sizes.append(n)
+        n *= 2
+
+    base = None
+    for nd in sizes:
+        mesh = M.make_mesh(n_tile=nd, n_sample=1, devices=devices[:nd])
+        acc = place_accumulator(hpt.make_accumulator(w, h, seed=0), mesh)
+        step = jax.jit(
+            lambda s, c, a, _mesh=mesh: render_sharded(
+                s, c, a, spp=args.spp, mesh=_mesh, num_bounces=args.bounces
+            )
+        )
+        dt = timeit(lambda: step(scene, cam, acc))
+        rays = w * h * args.spp * args.bounces
+        rate = rays / dt
+        if base is None:
+            base = rate
+        eff = rate / (base * nd)
+        print(json.dumps({
+            "step": "render", "devices": nd,
+            "rays_per_s": round(rate), "seconds": round(dt, 4),
+            "efficiency_vs_1dev": round(eff, 4),
+        }), flush=True)
+
+    if args.train:
+        base = None
+        params = G.scene_to_params(scene)
+        for nd in sizes:
+            mesh = M.make_mesh(n_tile=nd, n_sample=1, devices=devices[:nd])
+            rng = gen_seeds((h, w), seed=1)
+            target = jnp.zeros((h, w, 3), jnp.float32)
+            train = jax.jit(
+                lambda p, t, _mesh=mesh, _rng=rng: train_step_sharded(
+                    p, scene, cam, t, _rng, _mesh,
+                    num_bounces=min(args.bounces, 4), lr=1e-3,
+                )
+            )
+            dt = timeit(lambda: train(params, target), n=3)
+            rate = w * h * min(args.bounces, 4) * 3 / dt  # fwd+bwd segments
+            if base is None:
+                base = rate
+            eff = rate / (base * nd)
+            print(json.dumps({
+                "step": "train", "devices": nd,
+                "rays_per_s": round(rate), "seconds": round(dt, 4),
+                "efficiency_vs_1dev": round(eff, 4),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

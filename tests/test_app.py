@@ -299,3 +299,52 @@ def test_cli_wavefront_variant(tmp_path):
         "--seed", "0", "--variant", "streams", "--quiet", "-o", out,
     ]) == 0
     assert os.path.exists(out)
+
+
+def test_exr_roundtrip(tmp_path):
+    from haskell_path_tracer_tpu.utils.image import read_exr, save_render, write_exr
+
+    img = np.random.default_rng(5).uniform(0, 40, (9, 13, 3)).astype(np.float32)
+    path = str(tmp_path / "x.exr")
+    write_exr(path, img)
+    np.testing.assert_array_equal(read_exr(path), img)
+    # save_render dispatches on suffix and skips the tonemap for HDR.
+    save_render(str(tmp_path / "y.exr"), img, exposure=0.5)
+    np.testing.assert_array_equal(read_exr(str(tmp_path / "y.exr")), img)
+
+
+# --- animation driver ------------------------------------------------------
+
+
+def test_interpolate_path():
+    from haskell_path_tracer_tpu.app.animate import interpolate_path
+
+    kf = [
+        {"position": [0, 0, 0], "rotation": [0, 0, 0], "fov": 90},
+        {"position": [2, 0, 0], "rotation": [0, 1, 0], "fov": 60},
+    ]
+    frames = interpolate_path(kf, 5)
+    assert len(frames) == 5
+    np.testing.assert_allclose(frames[0][0], [0, 0, 0])
+    np.testing.assert_allclose(frames[-1][0], [2, 0, 0])
+    np.testing.assert_allclose(frames[2][0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(frames[2][1], [0, 0.5, 0], atol=1e-6)
+    assert abs(frames[2][2] - 75.0) < 1e-4
+
+
+def test_animate_renders_frames(tmp_path):
+    from haskell_path_tracer_tpu.app.animate import main as animate_main
+
+    from haskell_path_tracer_tpu.utils.image import read_exr
+
+    pattern = str(tmp_path / "f_%02d.exr")
+    assert animate_main([
+        "--width", "32", "--height", "24", "--frames", "2", "--spp", "4",
+        "--bounces", "4", "--orbit", "--quiet", "-o", pattern,
+    ]) == 0
+    a = read_exr(str(tmp_path / "f_00.exr"))
+    b = read_exr(str(tmp_path / "f_01.exr"))
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert a.max() > 0  # scene visible
+    # Orbit cameras differ -> frames differ.
+    assert not np.array_equal(a, b)
