@@ -75,16 +75,13 @@ def sample_cosine_hemisphere(normal, u1, u2):
     )
 
 
-def sample_physical(hit, ray_d, rng_state):
-    """Physically-based bounce sampling (three RNG draws per lane).
+def _physical_bounce(hit, ray_d, u1, u2, u3):
+    """Shared direction selection for the physical BRDFs given three
+    uniforms in [0, 1).  Returns (origin, direction, tmod, is_specular).
 
-    Returns (origin, direction, throughput_mod, is_specular, new_state).
+    Lambert: (albedo/pi) * cos / (cos/pi) = albedo.  Mirror/glass: albedo
+    (delta lobes; the Fresnel branch choice is importance-sampled by u3).
     """
-    u, rng = rng_ops.gen_vec(rng_state)  # 3 draws in [-1, 1]
-    u1 = (u[..., 0] + 1.0) * 0.5
-    u2 = (u[..., 1] + 1.0) * 0.5
-    u3 = (u[..., 2] + 1.0) * 0.5
-
     matte_dir = sample_cosine_hemisphere(hit.normal, u1, u2)
     glossy_dir = linalg.reflect(ray_d, hit.normal)
     refl, refr, f_refl = brdf_ops.dielectric_split(
@@ -99,11 +96,24 @@ def sample_physical(hit, ray_d, rng_state):
         diel_dir,
         jnp.where(is_glossy[..., None], glossy_dir, matte_dir),
     )
-    # Lambert: (albedo/pi) * cos / (cos/pi) = albedo.  Mirror/glass: albedo
-    # (delta lobes, Fresnel choice importance-sampled).
-    tmod = hit.color
     is_specular = is_glossy | is_diel
     origin = hit.point + direction * EPSILON
+    return origin, direction, hit.color, is_specular
+
+
+def sample_physical(hit, ray_d, rng_state):
+    """Physically-based bounce sampling (three SFC32 draws per lane).
+
+    Returns (origin, direction, throughput_mod, is_specular, new_state).
+    """
+    u, rng = rng_ops.gen_vec(rng_state)  # 3 draws in [-1, 1]
+    origin, direction, tmod, is_specular = _physical_bounce(
+        hit,
+        ray_d,
+        (u[..., 0] + 1.0) * 0.5,
+        (u[..., 1] + 1.0) * 0.5,
+        (u[..., 2] + 1.0) * 0.5,
+    )
     return origin, direction, tmod, is_specular, rng
 
 
@@ -248,6 +258,98 @@ def trace_physical(
         0, num_bounces, body, init
     )
     return result, rng_out
+
+
+def trace_physical_stateless(
+    scene: Scene,
+    rays: Rays,
+    key,
+    num_bounces: int = 8,
+    spp: int = 1,
+    nee: bool = True,
+):
+    """Physical trace with the idiomatic `jax.random` path: stateless
+    counter-based threefry instead of per-pixel SFC32 state.
+
+    Each (sample, bounce) derives its uniforms from `fold_in`s of one
+    scalar key — no [H, W, 4] state array to carry, reseed, or
+    checkpoint; replaying any sample needs only (key, index).  This is
+    the production sampling path SURVEY.md §7 pairs with the SFC32
+    parity path.  Returns the mean radiance over `spp` samples.
+    """
+    import jax.random as jr
+
+    n_spheres = scene.spheres.count
+    shape = rays.origin.shape[:-1]
+
+    def uniforms(sample_key, bounce, n):
+        k = jr.fold_in(sample_key, bounce)
+        return jr.uniform(k, (n, *shape), dtype=jnp.float32)
+
+    def one_sample(sample_key):
+        def body(i, state):
+            ray_o, ray_d, result, throughput, prev_spec = state
+            hit = nearest_hit(ray_o, ray_d, scene)
+            dead = linalg.near_zero(throughput) | ~hit.hit
+
+            is_plane_hit = hit.prim >= n_spheres
+            take_emit = (prev_spec | is_plane_hit) if nee else (
+                jnp.ones_like(prev_spec)
+            )
+            emit = brdf_ops.emittance(hit) * throughput
+            new_result = result + jnp.where(take_emit[..., None], emit, 0.0)
+
+            u = uniforms(sample_key, i, 6)
+            next_o, direction, tmod, is_spec = _physical_bounce(
+                hit, ray_d, u[0], u[1], u[2]
+            )
+            new_throughput = throughput * tmod
+
+            if nee:
+                l_dir, inv_pdf, l_idx = sample_light_cone(
+                    scene, hit.point, u[3], u[4], u[5]
+                )
+                cos_i = linalg.dot(l_dir, hit.normal)
+                sh = nearest_hit(hit.point + l_dir * EPSILON, l_dir, scene)
+                w = (
+                    sh.hit & (sh.prim == l_idx)
+                    & (hit.brdf_kind == BRDF_MATTE) & (cos_i > 0.0)
+                )
+                contrib = (
+                    throughput * (hit.color / jnp.pi)
+                    * brdf_ops.emittance(sh)
+                    * (cos_i * inv_pdf)[..., None]
+                )
+                new_result = new_result + jnp.where(
+                    w[..., None], contrib, 0.0
+                )
+
+            d3 = dead[..., None]
+            return (
+                jnp.where(d3, ray_o, next_o),
+                jnp.where(d3, ray_d, direction),
+                jnp.where(d3, result, new_result),
+                jnp.where(d3, 0.0, new_throughput),
+                jnp.where(dead, prev_spec, is_spec),
+            )
+
+        init = (
+            rays.origin,
+            rays.direction,
+            jnp.zeros_like(rays.origin),
+            jnp.ones_like(rays.origin),
+            jnp.ones(shape, bool),
+        )
+        _, _, result, _, _ = jax.lax.fori_loop(0, num_bounces, body, init)
+        return result
+
+    def sample_loop(i, acc):
+        return acc + one_sample(jr.fold_in(key, i))
+
+    total = jax.lax.fori_loop(
+        0, spp, sample_loop, jnp.zeros((*shape, 3), jnp.float32)
+    )
+    return total / spp
 
 
 def render_sample_physical(

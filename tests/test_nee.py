@@ -218,3 +218,26 @@ def test_specular_chain_sees_light():
     img_ne = _mean_image(scene, _camera(), spp=96, nee=True, seed=8)
     mb, mn = img_bf.mean(), img_ne.mean()
     assert abs(mb - mn) / mb < 0.08, (mb, mn)
+
+
+def test_stateless_threefry_matches_sfc32_mean():
+    """The jax.random (threefry, counter-based) production path and the
+    SFC32 state path estimate the same integral."""
+    import jax.random as jr
+    from haskell_path_tracer_tpu.models.camera import primary_rays
+
+    scene, camera = light_scene(light_radius=0.9), _camera()
+    rays = primary_rays(camera, W, H)
+    img_tf = np.asarray(
+        jax.jit(
+            lambda k: N.trace_physical_stateless(
+                scene, rays, k, num_bounces=4, spp=48, nee=True
+            )
+        )(jr.key(0))
+    )
+    img_sf = _mean_image(scene, camera, spp=48, nee=True, seed=9)
+    assert np.isfinite(img_tf).all()
+    mb, mn = img_sf.mean(), img_tf.mean()
+    assert abs(mb - mn) / mb < 0.06, (mb, mn)
+    corr = np.corrcoef(img_sf.reshape(-1), img_tf.reshape(-1))[0, 1]
+    assert corr > 0.97, corr
