@@ -376,7 +376,7 @@ def trace_inline_pallas(
     rng_state: jnp.ndarray,
     num_bounces: int = 15,
     spp: int = 1,
-    tile_rows: int = 8,
+    tile_rows: int = 16,  # 16-row tiles: 2.30 vs 1.36 Grays/s at 8 (v5e, 512x512)
     russian_roulette: bool = False,
     rr_start: int = 3,
     interpret: bool = False,

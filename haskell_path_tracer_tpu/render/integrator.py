@@ -178,7 +178,7 @@ def render_batch_pallas(
     russian_roulette: bool = False,
     row_offset=0,
     full_height: int | None = None,
-    tile_rows: int = 8,
+    tile_rows: int = 16,  # 16-row tiles: 2.30 vs 1.36 Grays/s at 8 (v5e, 512x512)
     interpret: bool = False,
 ) -> Accumulator:
     """`spp` samples via the fused Pallas TPU megakernel
