@@ -111,7 +111,7 @@ def test_light_cone_sampling_geometry():
     assert (cos_t >= cos_max - 1e-5).all()
     # inv_pdf = solid angle * num_lights (1 light).
     np.testing.assert_allclose(
-        inv_pdf, 2 * np.pi * (1 - cos_max), rtol=1e-5
+        inv_pdf, 2 * np.pi * (1 - cos_max), rtol=5e-5
     )
     # Every sampled shadow ray actually hits the light sphere.
     from haskell_path_tracer_tpu.ops.intersect import sphere_distances
