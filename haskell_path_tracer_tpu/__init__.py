@@ -36,6 +36,8 @@ from .render.integrator import (
     trace_inline,
 )
 from .render.wavefront import (
+    WavefrontStats,
+    depth_histogram,
     render_batch_wavefront,
     render_sample_wavefront,
     render_sample_wavefront_split,

@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="dump the active scene (+camera) to JSON and exit",
     )
     p.add_argument("--profile-dir", default=None, help="jax.profiler trace dir")
+    p.add_argument(
+        "--stats", action="store_true",
+        help="log wavefront telemetry (per-bounce live-ray occupancy + "
+        "bounce-depth histogram) after rendering; wavefront variant only",
+    )
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -139,6 +144,12 @@ def main(argv=None) -> int:
             exposure=args.exposure,
             gamma=args.gamma,
         )
+    if args.stats:
+        stats = renderer.wavefront_stats(scene, camera, acc)
+        if stats is None:
+            M.log("stats_unavailable", variant=config.algorithm)
+        else:
+            M.log("wavefront_stats", **stats)
     if not args.quiet:
         M.log("done", output=args.output)
         print(m.to_json())

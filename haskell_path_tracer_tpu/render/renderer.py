@@ -129,3 +129,28 @@ class Renderer:
     def image(self, acc: Accumulator) -> np.ndarray:
         """Normalized (divided-by-iterations) image on host."""
         return np.asarray(acc.image)
+
+    def wavefront_stats(self, scene: Scene, camera: Camera, acc: Accumulator):
+        """One probe sample's wavefront telemetry (occupancy per bounce +
+        bounce-depth histogram), without touching the accumulator.  Only
+        meaningful for the wavefront algorithm; other variants return None.
+        """
+        if self.config.algorithm != "wavefront":
+            return None
+        from .wavefront import depth_histogram, render_sample_wavefront
+
+        @partial(jax.jit, static_argnames=("bounces",))
+        def probe(scene, camera, acc, bounces):
+            _, stats = render_sample_wavefront(
+                scene, camera, acc, num_bounces=bounces,
+                russian_roulette=self.config.russian_roulette,
+                return_stats=True,
+            )
+            return stats.occupancy, depth_histogram(stats), stats.capacity
+
+        occ, hist, cap = probe(scene, camera, acc, self.config.bounces)
+        return {
+            "occupancy": np.asarray(occ).tolist(),
+            "depth_histogram": np.asarray(hist).tolist(),
+            "capacity": int(cap),
+        }

@@ -60,6 +60,37 @@ class _QueueState(NamedTuple):
     throughput: jnp.ndarray  # [Q, 3]
     accum: jnp.ndarray  # [Q, 3] per-lane radiance (scattered once at end)
     rng: jnp.ndarray  # [Q, 4] u32
+    occupancy: jnp.ndarray  # [num_bounces + 1] i32 — rays entering each bounce
+
+
+class WavefrontStats(NamedTuple):
+    """Per-wavefront-step telemetry (SURVEY.md §5 observability plan).
+
+    ``occupancy[b]`` is the number of rays entering bounce ``b`` — the live
+    population the wavefront processed at that step (``occupancy[0]`` is
+    the primary-ray count; the final entry is the population still alive
+    after the last bounce).  Bounces never reached because the queue
+    drained early report 0.  ``capacity`` is the queue size, so
+    ``occupancy / capacity`` is lane utilization — the number that tells
+    you when compaction or a smaller queue would pay off.
+    """
+
+    occupancy: jnp.ndarray  # [num_bounces + 1] i32
+    capacity: int
+
+
+def depth_histogram(stats: WavefrontStats) -> jnp.ndarray:
+    """Bounce-depth histogram derived from occupancy.
+
+    Entry ``b`` counts rays whose path performed exactly ``b`` shading
+    events: a ray that dies (misses or hits near-zero throughput) during
+    bounce ``b`` shaded only bounces ``0..b-1``, so deaths during bounce
+    ``b`` = ``occupancy[b] - occupancy[b+1]`` have depth ``b``.  The final
+    entry counts rays still alive at the bounce cap.  Length
+    ``num_bounces + 1``; sums to the primary-ray count ``occupancy[0]``.
+    """
+    occ = stats.occupancy
+    return jnp.concatenate([occ[:-1] - occ[1:], occ[-1:]])
 
 
 def render_sample_wavefront(
@@ -70,7 +101,8 @@ def render_sample_wavefront(
     russian_roulette: bool = False,
     rr_start: int = 3,
     compact: bool = False,
-) -> Accumulator:
+    return_stats: bool = False,
+):
     """One progressive sample via the wavefront queue.
 
     `compact=False` (default): lanes keep pixel order; right for TPU where
@@ -79,6 +111,9 @@ def render_sample_wavefront(
     per-sample time at 512x512).  `compact=True` maintains the live-dense
     invariant — needed when a downstream consumer processes only the
     queue front (per-tile Pallas kernels, ray splitting).
+
+    `return_stats=True` additionally returns :class:`WavefrontStats` with
+    per-bounce live-ray occupancy (the telemetry that prices compaction).
     """
     height, width = acc.color.shape[:2]
     num_pixels = height * width
@@ -93,12 +128,14 @@ def render_sample_wavefront(
         throughput=jnp.ones((num_pixels, 3), jnp.float32),
         accum=jnp.zeros((num_pixels, 3), jnp.float32),
         rng=acc.rng.reshape(num_pixels, 4),
+        occupancy=jnp.zeros((num_bounces + 1,), jnp.int32),
     )
 
     def cond(s: _QueueState):
         return (s.bounce < num_bounces) & (s.count > 0)
 
     def body(s: _QueueState) -> _QueueState:
+        occupancy = s.occupancy.at[s.bounce].set(s.count)
         hit = nearest_hit(s.ray_o, s.ray_d, scene)
         # Death test uses the stored (previous-bounce) throughput, before
         # emission — Inline semantics (Trace.hs:364-365).  A lane whose
@@ -131,6 +168,7 @@ def render_sample_wavefront(
             throughput=jnp.where(a3, new_thpt, jnp.zeros_like(s.throughput)),
             accum=accum,
             rng=jnp.where(alive[..., None], rng2, s.rng),
+            occupancy=occupancy,
         )
         if compact:
             live = ~linalg.near_zero(new.throughput)
@@ -161,11 +199,18 @@ def render_sample_wavefront(
         .at[final.pixel]
         .set(final.rng, mode="drop")
     )
-    return Accumulator(
+    out = Accumulator(
         color=color.reshape(height, width, 3),
         rng=rng_out.reshape(height, width, 4),
         iterations=acc.iterations + 1,
     )
+    if return_stats:
+        # The slot for the bounce the loop stopped at was never written by
+        # the body: record the population that carried out of the loop
+        # (0 on early drain; cap survivors on a full run).
+        occ = final.occupancy.at[final.bounce].set(final.count)
+        return out, WavefrontStats(occupancy=occ, capacity=num_pixels)
+    return out
 
 
 def _derive_child_rng(rng: jnp.ndarray) -> jnp.ndarray:
@@ -188,7 +233,8 @@ def render_sample_wavefront_split(
     acc: Accumulator,
     num_bounces: int = 15,
     queue_factor: float = 2.0,
-) -> Accumulator:
+    return_stats: bool = False,
+):
     """One progressive sample with *deterministic dielectric ray splitting*.
 
     At a glass hit the ray splits into both Fresnel branches — reflection
@@ -230,6 +276,7 @@ def render_sample_wavefront_split(
         primary: jnp.ndarray
         radiance: jnp.ndarray  # [P, 3] per-pixel
         rng_out: jnp.ndarray  # [P, 4]
+        occupancy: jnp.ndarray  # [num_bounces + 1] i32
 
     state = _S(
         bounce=jnp.zeros((), jnp.int32),
@@ -243,12 +290,14 @@ def render_sample_wavefront_split(
         primary=pad(jnp.ones((num_pixels,), bool), False),
         radiance=jnp.zeros((num_pixels, 3), jnp.float32),
         rng_out=acc.rng.reshape(num_pixels, 4),
+        occupancy=jnp.zeros((num_bounces + 1,), jnp.int32),
     )
 
     def cond(s):
         return (s.bounce < num_bounces) & (s.count > 0)
 
     def body(s):
+        occupancy = s.occupancy.at[s.bounce].set(s.count)
         hit = nearest_hit(s.ray_o, s.ray_d, scene)
         alive = s.live & hit.hit & ~linalg.near_zero(s.throughput)
 
@@ -297,6 +346,7 @@ def render_sample_wavefront_split(
             live=alive,
             radiance=radiance,
             rng_out=rng_out,
+            occupancy=occupancy,
         )
 
         # Fused stable compaction + child enqueue (one key sort; dead
@@ -321,11 +371,15 @@ def render_sample_wavefront_split(
     wb_idx = jnp.where(final.live & final.primary, final.pixel, num_pixels)
     rng_out = final.rng_out.at[wb_idx].set(final.rng, mode="drop")
 
-    return Accumulator(
+    out = Accumulator(
         color=acc.color + final.radiance.reshape(height, width, 3),
         rng=rng_out.reshape(height, width, 4),
         iterations=acc.iterations + 1,
     )
+    if return_stats:
+        occ = final.occupancy.at[final.bounce].set(final.count)
+        return out, WavefrontStats(occupancy=occ, capacity=capacity)
+    return out
 
 
 def render_batch_wavefront(
@@ -335,8 +389,28 @@ def render_batch_wavefront(
     spp: int,
     num_bounces: int = 15,
     russian_roulette: bool = False,
-) -> Accumulator:
-    """`spp` wavefront samples in one dispatch (on-device sample loop)."""
+    return_stats: bool = False,
+):
+    """`spp` wavefront samples in one dispatch (on-device sample loop).
+
+    With `return_stats=True` also returns :class:`WavefrontStats` whose
+    occupancy is summed over the batch's samples (divide by `spp` for the
+    mean per-bounce live population).
+    """
+    if return_stats:
+
+        def body_s(_, carry):
+            a, occ = carry
+            a, stats = render_sample_wavefront(
+                scene, camera, a, num_bounces, russian_roulette,
+                return_stats=True,
+            )
+            return a, occ + stats.occupancy
+
+        occ0 = jnp.zeros((num_bounces + 1,), jnp.int32)
+        out, occ = jax.lax.fori_loop(0, spp, body_s, (acc, occ0))
+        h, w = acc.color.shape[:2]
+        return out, WavefrontStats(occupancy=occ, capacity=h * w)
 
     def body(_, a):
         return render_sample_wavefront(
