@@ -16,15 +16,22 @@ progressive Monte-Carlo path tracer with
 
 from .models.objects import (
     Accumulator,
+    Boxes,
     Camera,
     Materials,
     Planes,
     Rays,
     Scene,
     Spheres,
+    Triangles,
     BRDF_MATTE,
     BRDF_GLOSSY,
     BRDF_DIELECTRIC,
+    make_boxes,
+    make_materials,
+    make_planes,
+    make_spheres,
+    make_triangles,
 )
 from .models.world import initial_camera, main_scene
 from .models.io import load_scene, save_scene

@@ -122,6 +122,10 @@ def params_to_scene(params: SceneParams, template: Scene) -> Scene:
                 brdf_param=params.plane_param,
             ),
         ),
+        # Boxes/triangles pass through from the template (geometry and
+        # materials stay fixed; extend SceneParams if they should train).
+        boxes=template.boxes,
+        triangles=template.triangles,
     )
 
 

@@ -18,9 +18,11 @@ from .objects import (
     BRDF_MATTE,
     Camera,
     Scene,
+    make_boxes,
     make_materials,
     make_planes,
     make_spheres,
+    make_triangles,
 )
 
 _KIND_NAMES = {BRDF_MATTE: "matte", BRDF_GLOSSY: "glossy", BRDF_DIELECTRIC: "dielectric"}
@@ -55,6 +57,27 @@ def scene_to_dict(scene: Scene, camera: Camera | None = None) -> dict:
             for i in range(scene.planes.count)
         ],
     }
+    if scene.boxes.count:
+        d["boxes"] = [
+            {
+                "lo": np.asarray(scene.boxes.lo[i]).tolist(),
+                "hi": np.asarray(scene.boxes.hi[i]).tolist(),
+                "material": _material_to_dict(scene.boxes.material, i),
+            }
+            for i in range(scene.boxes.count)
+        ]
+    if scene.triangles.count:
+        d["triangles"] = [
+            {
+                "vertices": [
+                    np.asarray(scene.triangles.v0[i]).tolist(),
+                    np.asarray(scene.triangles.v1[i]).tolist(),
+                    np.asarray(scene.triangles.v2[i]).tolist(),
+                ],
+                "material": _material_to_dict(scene.triangles.material, i),
+            }
+            for i in range(scene.triangles.count)
+        ]
     if camera is not None:
         d["camera"] = {
             "position": np.asarray(camera.position).tolist(),
@@ -90,11 +113,25 @@ def scene_from_dict(d: dict):
         [p["normal"] for p in d["planes"]],
         mats(d["planes"]),
     )
+    extra = {}
+    if d.get("boxes"):
+        extra["boxes"] = make_boxes(
+            [b["lo"] for b in d["boxes"]],
+            [b["hi"] for b in d["boxes"]],
+            mats(d["boxes"]),
+        )
+    if d.get("triangles"):
+        extra["triangles"] = make_triangles(
+            [t["vertices"][0] for t in d["triangles"]],
+            [t["vertices"][1] for t in d["triangles"]],
+            [t["vertices"][2] for t in d["triangles"]],
+            mats(d["triangles"]),
+        )
     camera = None
     if "camera" in d:
         c = d["camera"]
         camera = Camera.create(c["position"], c["rotation"], c["fov"])
-    return Scene(spheres=spheres, planes=planes), camera
+    return Scene(spheres=spheres, planes=planes, **extra), camera
 
 
 def save_scene(path: str, scene: Scene, camera: Camera | None = None) -> None:

@@ -101,8 +101,77 @@ class Planes:
 
 @_register
 @dataclass(frozen=True)
+class Boxes:
+    """SoA axis-aligned box batch.
+
+    Implements the reference's *stubbed* `AxisAlignedBox` (Objects.hs:47-51
+    declares the type and the TODO at :55-59 never fills it in).  One-sided
+    like every other primitive here: only entry faces hit — a ray starting
+    inside a box misses it (the sphere's backface-cull rule, extended).
+    """
+
+    lo: jnp.ndarray  # [N, 3] min corner
+    hi: jnp.ndarray  # [N, 3] max corner
+    material: Materials
+
+    @property
+    def count(self) -> int:
+        return self.lo.shape[0]
+
+
+@_register
+@dataclass(frozen=True)
+class Triangles:
+    """SoA triangle batch (the reference's other TODO, Objects.hs:55-59).
+
+    One-sided with the plane's convention (Intersection.hs:57): the front
+    face is the side the geometric normal `normalize(cross(v1-v0, v2-v0))`
+    points toward, and only front faces hit.
+    """
+
+    v0: jnp.ndarray  # [N, 3]
+    v1: jnp.ndarray  # [N, 3]
+    v2: jnp.ndarray  # [N, 3]
+    material: Materials
+
+    @property
+    def count(self) -> int:
+        return self.v0.shape[0]
+
+
+def empty_materials() -> Materials:
+    return Materials(
+        color=jnp.zeros((0, 3), jnp.float32),
+        illuminance=jnp.zeros((0,), jnp.float32),
+        brdf_kind=jnp.zeros((0,), jnp.int32),
+        brdf_param=jnp.zeros((0,), jnp.float32),
+    )
+
+
+def empty_boxes() -> Boxes:
+    return Boxes(
+        lo=jnp.zeros((0, 3), jnp.float32),
+        hi=jnp.zeros((0, 3), jnp.float32),
+        material=empty_materials(),
+    )
+
+
+def empty_triangles() -> Triangles:
+    return Triangles(
+        v0=jnp.zeros((0, 3), jnp.float32),
+        v1=jnp.zeros((0, 3), jnp.float32),
+        v2=jnp.zeros((0, 3), jnp.float32),
+        material=empty_materials(),
+    )
+
+
+@_register
+@dataclass(frozen=True)
 class Scene:
-    """A scene = sphere batch + plane batch (Objects.hs:60-64 `Scene`).
+    """A scene = sphere batch + plane batch (Objects.hs:60-64 `Scene`),
+    extended with the primitive kinds the reference only declared as TODOs
+    (axis-aligned boxes, triangles — Objects.hs:47-59).  Primitive index
+    order is spheres ++ planes ++ boxes ++ triangles.
 
     Unlike the reference — where the scene is baked into the compiled kernel
     as constants (World.hs:16) — a `Scene` is a pytree of *traced* arrays:
@@ -112,10 +181,17 @@ class Scene:
 
     spheres: Spheres
     planes: Planes
+    boxes: Boxes = dataclasses.field(default_factory=empty_boxes)
+    triangles: Triangles = dataclasses.field(default_factory=empty_triangles)
 
     @property
     def num_primitives(self) -> int:
-        return self.spheres.count + self.planes.count
+        return (
+            self.spheres.count
+            + self.planes.count
+            + self.boxes.count
+            + self.triangles.count
+        )
 
 
 @_register
@@ -204,5 +280,22 @@ def make_planes(pos, normal, materials: Materials) -> Planes:
     return Planes(
         pos=jnp.asarray(np.array(pos, np.float32).reshape(-1, 3)),
         normal=jnp.asarray(np.array(normal, np.float32).reshape(-1, 3)),
+        material=materials,
+    )
+
+
+def make_boxes(lo, hi, materials: Materials) -> Boxes:
+    return Boxes(
+        lo=jnp.asarray(np.array(lo, np.float32).reshape(-1, 3)),
+        hi=jnp.asarray(np.array(hi, np.float32).reshape(-1, 3)),
+        material=materials,
+    )
+
+
+def make_triangles(v0, v1, v2, materials: Materials) -> Triangles:
+    return Triangles(
+        v0=jnp.asarray(np.array(v0, np.float32).reshape(-1, 3)),
+        v1=jnp.asarray(np.array(v1, np.float32).reshape(-1, 3)),
+        v2=jnp.asarray(np.array(v2, np.float32).reshape(-1, 3)),
         material=materials,
     )

@@ -78,6 +78,69 @@ def plane_distances(ray_o, ray_d, planes: Planes):
     return jnp.where(miss, INFINITE, dist)
 
 
+def box_distances(ray_o, ray_d, boxes):
+    """Distances from rays [..., 3] to every axis-aligned box. [..., N] f32.
+
+    Branchless slab method.  One-sided with the sphere's convention
+    (Intersection.hs:46-48 culls `t < 0`, i.e. origin-inside): only the
+    *entry* face hits — a ray starting inside the box misses it.
+    """
+    o = ray_o[..., None, :]  # [..., 1, 3]
+    d = ray_d[..., None, :]
+    # Axis-parallel rays: displace zero components so the slab division
+    # yields huge finite ts instead of 0 * inf = NaN.
+    tiny = jnp.float32(1e-12)
+    d_safe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
+    inv = 1.0 / d_safe
+    t1 = (boxes.lo - o) * inv  # [..., N, 3]
+    t2 = (boxes.hi - o) * inv
+    t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)  # [..., N]
+    t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    miss = (t_near > t_far) | (t_near <= 0.0)
+    return jnp.where(miss, INFINITE, t_near)
+
+
+def box_normal(point, lo, hi):
+    """Outward normal of the box face containing `point` (the dominant
+    axis of the centered, half-size-normalized hit offset)."""
+    center = (lo + hi) * 0.5
+    half = jnp.maximum((hi - lo) * 0.5, 1e-12)
+    q = (point - center) / half
+    axis = jnp.argmax(jnp.abs(q), axis=-1)
+    return jax.nn.one_hot(axis, 3, dtype=point.dtype) * jnp.sign(
+        jnp.take_along_axis(q, axis[..., None], axis=-1)
+    )
+
+
+def triangle_distances(ray_o, ray_d, tris):
+    """Distances from rays [..., 3] to every triangle. [..., N] f32.
+
+    Möller–Trumbore, one-sided with the plane's convention
+    (Intersection.hs:57): the front face is where the geometric normal
+    `cross(v1-v0, v2-v0)` points; `det = -dot(d, n)`, so the plane's
+    `denom > 1e-6 -> miss` rule becomes `det <= 1e-6 -> miss`.
+    """
+    e1 = tris.v1 - tris.v0  # [N, 3]
+    e2 = tris.v2 - tris.v0
+    d = ray_d[..., None, :]  # [..., 1, 3]
+    pvec = jnp.cross(d, e2)  # [..., N, 3]
+    det = linalg.dot(e1, pvec)  # [..., N]
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tvec = ray_o[..., None, :] - tris.v0  # [..., N, 3]
+    u = linalg.dot(tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1)  # [..., N, 3]
+    v = linalg.dot(d, qvec) * inv_det
+    t = linalg.dot(e2, qvec) * inv_det
+    miss = (
+        (det <= PLANE_DENOM_EPS)
+        | (u < 0.0)
+        | (v < 0.0)
+        | (u + v > 1.0)
+        | (t < 0.0)
+    )
+    return jnp.where(miss, INFINITE, t)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class Hit:
@@ -100,31 +163,37 @@ class Hit:
 
 
 def _field_table(scene: Scene) -> jnp.ndarray:
-    """Per-primitive payload table [N+M, 8]:
-    aux(3) = sphere center | plane normal, color(3), illuminance,
-    brdf_param.  Gathered hit attributes come from a one-hot contraction
-    against this table (see `nearest_hit`)."""
-    sm = scene.spheres.material
-    pm = scene.planes.material
-    sph = jnp.concatenate(
-        [
-            scene.spheres.pos,
-            sm.color,
-            sm.illuminance[:, None],
-            sm.brdf_param[:, None],
-        ],
-        axis=-1,
-    )
-    pln = jnp.concatenate(
-        [
-            scene.planes.normal,
-            pm.color,
-            pm.illuminance[:, None],
-            pm.brdf_param[:, None],
-        ],
-        axis=-1,
-    )
-    return jnp.concatenate([sph, pln], axis=0)
+    """Per-primitive payload table [P, 8 or 11]:
+    aux(3) = sphere center | plane normal | box lo | triangle normal,
+    [aux2(3) = box hi — column group present only when the scene has
+    boxes], color(3), illuminance, brdf_param.  Gathered hit attributes
+    come from a one-hot contraction against this table (see
+    `nearest_hit`).  Primitive order: spheres ++ planes ++ boxes ++
+    triangles (Scene contract)."""
+    with_aux2 = bool(scene.boxes.count)
+
+    def rows(aux, aux2, mat):
+        cols = [aux]
+        if with_aux2:
+            cols.append(aux2 if aux2 is not None else jnp.zeros_like(aux))
+        cols += [mat.color, mat.illuminance[:, None], mat.brdf_param[:, None]]
+        return jnp.concatenate(cols, axis=-1)
+
+    parts = [
+        rows(scene.spheres.pos, None, scene.spheres.material),
+        rows(scene.planes.normal, None, scene.planes.material),
+    ]
+    if scene.boxes.count:
+        parts.append(
+            rows(scene.boxes.lo, scene.boxes.hi, scene.boxes.material)
+        )
+    if scene.triangles.count:
+        tr = scene.triangles
+        tri_n = linalg.normalize_safe(
+            jnp.cross(tr.v1 - tr.v0, tr.v2 - tr.v0)
+        )
+        parts.append(rows(tri_n, None, tr.material))
+    return jnp.concatenate(parts, axis=0)
 
 
 # Above this primitive count, resolve t/prim with a chunked scan and the
@@ -137,9 +206,15 @@ CHUNK_SIZE = 128
 
 def _nearest_t_prim_small(ray_o, ray_d, scene: Scene):
     """Direct formulation: one [rays, P] plane + masked-iota min."""
-    ts = sphere_distances(ray_o, ray_d, scene.spheres)  # [..., N]
-    tp = plane_distances(ray_o, ray_d, scene.planes)  # [..., M]
-    all_t = jnp.concatenate([ts, tp], axis=-1)  # [..., P]
+    parts = [
+        sphere_distances(ray_o, ray_d, scene.spheres),  # [..., N]
+        plane_distances(ray_o, ray_d, scene.planes),  # [..., M]
+    ]
+    if scene.boxes.count:
+        parts.append(box_distances(ray_o, ray_d, scene.boxes))
+    if scene.triangles.count:
+        parts.append(triangle_distances(ray_o, ray_d, scene.triangles))
+    all_t = jnp.concatenate(parts, axis=-1)  # [..., P]
     num_prims = all_t.shape[-1]
     t = jnp.min(all_t, axis=-1)
     iota = jnp.arange(num_prims, dtype=jnp.int32)
@@ -203,18 +278,36 @@ def _nearest_t_prim_chunked(ray_o, ray_d, scene: Scene):
     else:
         t, prim = init
 
-    # Planes (few) directly.
-    m = scene.planes.count
-    if m:
-        tp = plane_distances(ray_o, ray_d, scene.planes)  # [..., M]
-        pt = jnp.min(tp, axis=-1)
-        iota = jnp.arange(m, dtype=jnp.int32)
-        parg = jnp.min(
-            jnp.where(tp == pt[..., None], iota, m), axis=-1
+    # Non-sphere kinds (few of each) directly, merged in index order so the
+    # first-primitive tie-break holds across kinds.
+    def merge(t, prim, dists, offset):
+        k = dists.shape[-1]
+        kt = jnp.min(dists, axis=-1)
+        iota = jnp.arange(k, dtype=jnp.int32)
+        karg = jnp.min(
+            jnp.where(dists == kt[..., None], iota, k), axis=-1
         ).astype(jnp.int32)
-        better = pt < t
-        t = jnp.where(better, pt, t)
-        prim = jnp.where(better, n + jnp.minimum(parg, m - 1), prim)
+        better = kt < t
+        return (
+            jnp.where(better, kt, t),
+            jnp.where(better, offset + jnp.minimum(karg, k - 1), prim),
+        )
+
+    offset = n
+    if scene.planes.count:
+        t, prim = merge(
+            t, prim, plane_distances(ray_o, ray_d, scene.planes), offset
+        )
+    offset += scene.planes.count
+    if scene.boxes.count:
+        t, prim = merge(
+            t, prim, box_distances(ray_o, ray_d, scene.boxes), offset
+        )
+    offset += scene.boxes.count
+    if scene.triangles.count:
+        t, prim = merge(
+            t, prim, triangle_distances(ray_o, ray_d, scene.triangles), offset
+        )
     return t, prim
 
 
@@ -241,30 +334,41 @@ def nearest_hit(ray_o, ray_d, scene: Scene) -> Hit:
         t, prim = _nearest_t_prim_small(ray_o, ray_d, scene)
     hit = t < INFINITE
 
+    kind_parts = [
+        scene.spheres.material.brdf_kind,
+        scene.planes.material.brdf_kind,
+    ]
+    if scene.boxes.count:
+        kind_parts.append(scene.boxes.material.brdf_kind)
+    if scene.triangles.count:
+        kind_parts.append(scene.triangles.material.brdf_kind)
+    all_kinds = jnp.concatenate(kind_parts)
     if chunked:
-        fields = _field_table(scene)[prim]  # [..., 8] row gather
-        kinds = jnp.concatenate(
-            [scene.spheres.material.brdf_kind, scene.planes.material.brdf_kind]
-        )
-        brdf_kind = kinds[prim]
+        fields = _field_table(scene)[prim]  # [..., 11] row gather
+        brdf_kind = all_kinds[prim]
     else:
         iota = jnp.arange(num_prims, dtype=jnp.int32)
         onehot = (prim[..., None] == iota).astype(jnp.float32)  # [..., P]
         fields = jax.numpy.matmul(
             onehot, _field_table(scene), preferred_element_type=jnp.float32
-        )  # [..., 8] — exact: one-hot rows select exact table rows
-        sk = scene.spheres.material.brdf_kind.astype(jnp.float32)
-        pk = scene.planes.material.brdf_kind.astype(jnp.float32)
+        )  # [..., 11] — exact: one-hot rows select exact table rows
         brdf_kind = jnp.round(
-            jnp.matmul(onehot, jnp.concatenate([sk, pk]))
+            jnp.matmul(onehot, all_kinds.astype(jnp.float32))
         ).astype(jnp.int32)
 
     aux = fields[..., 0:3]
-    color = fields[..., 3:6]
-    illuminance = fields[..., 6]
-    brdf_param = fields[..., 7]
+    # aux2 (box hi corner) exists only when the scene has boxes — the table
+    # stays 8 columns wide (and the sphere+plane graph bit-identical to the
+    # pre-extension formulation) otherwise.
+    base = 6 if scene.boxes.count else 3
+    aux2 = fields[..., 3:6] if scene.boxes.count else None
+    color = fields[..., base : base + 3]
+    illuminance = fields[..., base + 3]
+    brdf_param = fields[..., base + 4]
 
     n_spheres = scene.spheres.count
+    n_planes = scene.planes.count
+    n_boxes = scene.boxes.count
     is_sphere = prim < n_spheres
 
     # Hit point: o + d * t (default `hit`, Intersection.hs:29-32).  Use a
@@ -273,10 +377,18 @@ def nearest_hit(ray_o, ray_d, scene: Scene) -> Hit:
     point = ray_o + ray_d * t_safe[..., None]
 
     # Normals: sphere -> normalize(point - center) (Intersection.hs:50);
-    # plane -> its constant normal (Intersection.hs:64).  `aux` carries the
-    # winning sphere's center or the winning plane's normal.
+    # plane/triangle -> constant normal carried in `aux`
+    # (Intersection.hs:64); box -> dominant axis of the hit offset (`aux` =
+    # lo corner, `aux2` = hi corner).
     sphere_n = linalg.normalize_safe(point - aux)
     normal = jnp.where(is_sphere[..., None], sphere_n, aux)
+    if n_boxes:
+        is_box = (prim >= n_spheres + n_planes) & (
+            prim < n_spheres + n_planes + n_boxes
+        )
+        normal = jnp.where(
+            is_box[..., None], box_normal(point, aux, aux2), normal
+        )
 
     return Hit(
         t=t,

@@ -190,6 +190,11 @@ def render_batch_pallas(
     """
     from ..ops.pallas_megakernel import trace_inline_pallas
 
+    if scene.boxes.count or scene.triangles.count:
+        raise NotImplementedError(
+            "the Pallas megakernel folds over spheres+planes only; use "
+            "render_batch_inline / render_batch_auto for box/triangle scenes"
+        )
     height, width = acc.color.shape[:2]
     rays = primary_rays(camera, width, height, row_offset, full_height)
     radiance, rng_out = trace_inline_pallas(
@@ -230,8 +235,11 @@ def render_batch_auto(
     full_height: int | None = None,
 ) -> Accumulator:
     """Fastest available inline backend: Pallas megakernel on TPU with
-    lane-aligned widths, XLA loop otherwise."""
-    if pallas_supported(acc.color.shape[1]):
+    lane-aligned widths, XLA loop otherwise.  Scenes using the extended
+    primitive kinds (boxes/triangles) take the XLA path — the Pallas
+    kernel currently folds over spheres+planes only."""
+    extended = scene.boxes.count or scene.triangles.count
+    if not extended and pallas_supported(acc.color.shape[1]):
         return render_batch_pallas(
             scene, camera, acc, spp, num_bounces, russian_roulette,
             row_offset, full_height,

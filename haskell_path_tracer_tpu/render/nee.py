@@ -193,8 +193,9 @@ def trace_physical(
         dead = linalg.near_zero(throughput) | ~hit.hit
 
         # Emission pickup: BSDF-found emission counts only off specular
-        # chains (or from planes, which NEE never samples); otherwise NEE
-        # already accounted for it.
+        # chains (or from non-sphere primitives — planes/boxes/triangles —
+        # which NEE never samples as lights); otherwise NEE already
+        # accounted for it.
         is_plane_hit = hit.prim >= n_spheres
         if nee:
             take_emit = prev_spec | is_plane_hit
@@ -292,6 +293,8 @@ def trace_physical_stateless(
             hit = nearest_hit(ray_o, ray_d, scene)
             dead = linalg.near_zero(throughput) | ~hit.hit
 
+            # non-sphere emitters (planes/boxes/triangles) are not NEE-
+            # sampled, so their emission always comes from the BSDF path.
             is_plane_hit = hit.prim >= n_spheres
             take_emit = (prev_spec | is_plane_hit) if nee else (
                 jnp.ones_like(prev_spec)
