@@ -32,8 +32,8 @@ def tonemap(image: np.ndarray, exposure: float = 1.0, gamma: float = 2.2) -> np.
     return (x * 255.0 + 0.5).astype(np.uint8)
 
 
-def write_png(path: str, rgb8: np.ndarray) -> None:
-    """Minimal dependency-free PNG encoder (8-bit RGB)."""
+def encode_png(rgb8: np.ndarray) -> bytes:
+    """Minimal dependency-free PNG encoder (8-bit RGB) -> bytes."""
     h, w, c = rgb8.shape
     assert c == 3 and rgb8.dtype == np.uint8
 
@@ -50,14 +50,17 @@ def write_png(path: str, rgb8: np.ndarray) -> None:
         [np.zeros((h, 1), np.uint8), rgb8.reshape(h, w * 3)], axis=1
     ).tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, rgb8: np.ndarray) -> None:
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgb8))
 
 
 def write_exr(path: str, image: np.ndarray) -> None:
@@ -155,12 +158,22 @@ def write_ppm(path: str, rgb8: np.ndarray) -> None:
 def save_render(path: str, image, exposure: float = 1.0, gamma: float = 2.2):
     """Tonemap a normalized radiance image and write PNG (or PPM by suffix).
 
+    The accumulator's row 0 carries the *downward*-tilted primary rays
+    (the reference's array layout: screenY=+1 -> topOffset points to -y,
+    /root/reference/src/Scene/Trace.hs:234-253).  The reference displays
+    that array through an OpenGL texture whose v=0 row lands at the
+    *bottom* of the window (/root/reference/app/Main.hs:382-393 +
+    app/assets/vs.glsl), so its window shows the world upright; file
+    formats put row 0 at the top, so flip vertically here — the display
+    boundary — to match what a reference user saw.  Array-level parity
+    (tests, oracles) is unaffected.
+
     Uses the native C++ tonemap + encoder (runtime/native) when built; the
     pure-Python path above is the always-available fallback and the
     behavioral spec the native path is tested against."""
     from ..runtime import native
 
-    img = np.asarray(image)
+    img = np.asarray(image)[::-1]
     if path.endswith(".exr"):
         # HDR: raw radiance, no tonemap.
         write_exr(path, img)

@@ -308,9 +308,13 @@ def test_exr_roundtrip(tmp_path):
     path = str(tmp_path / "x.exr")
     write_exr(path, img)
     np.testing.assert_array_equal(read_exr(path), img)
-    # save_render dispatches on suffix and skips the tonemap for HDR.
+    # save_render dispatches on suffix, skips the tonemap for HDR, and
+    # flips vertically for display orientation (row 0 of the accumulator
+    # carries the downward rays; see utils/image.py:save_render).
     save_render(str(tmp_path / "y.exr"), img, exposure=0.5)
-    np.testing.assert_array_equal(read_exr(str(tmp_path / "y.exr")), img)
+    np.testing.assert_array_equal(
+        read_exr(str(tmp_path / "y.exr")), img[::-1]
+    )
 
 
 # --- animation driver ------------------------------------------------------
