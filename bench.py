@@ -41,22 +41,29 @@ def main() -> None:
         )
     )
 
+    def barrier(a):
+        # A tiny host fetch (3 floats) — unlike jax.block_until_ready,
+        # which has been observed to return early on tunneled remote
+        # devices, a device_get cannot complete before the computation
+        # producing the buffer has.
+        return float(jax.device_get(a.color[0, 0, 0]))
+
     # Warmup / compile.
     acc = step(scene, camera, acc)
-    jax.block_until_ready(acc)
+    barrier(acc)
 
     # Timed: best of 3 rounds of PIPELINE consecutive async dispatches
-    # (blocking once at the end).  Progressive rendering dispatches
-    # without per-step blocking, so back-to-back device time is the
-    # production number; per-dispatch host/tunnel latency would otherwise
-    # dominate on remote-attached chips.
+    # (one data-fetch barrier at the end).  Progressive rendering
+    # dispatches without per-step blocking, so back-to-back device time
+    # is the production number; per-dispatch host/tunnel latency would
+    # otherwise dominate on remote-attached chips.
     PIPELINE = 4
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(PIPELINE):
             acc = step(scene, camera, acc)
-        jax.block_until_ready(acc)
+        barrier(acc)
         times.append((time.perf_counter() - t0) / PIPELINE)
 
     dt = min(times)
