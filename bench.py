@@ -19,7 +19,7 @@ import time
 import jax
 
 WIDTH, HEIGHT = 512, 512
-SPP = 32
+SPP = 64  # BASELINE.md headline config: 512x512 / 64 spp
 BOUNCES = 8
 TARGET_RAYS_PER_S = 5.0e8
 
@@ -35,9 +35,14 @@ def main() -> None:
     camera = world.initial_camera()
     acc = make_accumulator(WIDTH, HEIGHT, seed=0)
 
+    # Static scene fact computed outside jit: the reference scene has no
+    # glass, so the kernel's dielectric block is elided (bit-exact).
+    from haskell_path_tracer_tpu.render.renderer import Renderer
+
+    has_diel = Renderer._scene_has_dielectric(scene)
     step = jax.jit(
         lambda s, c, a: render_batch_auto(
-            s, c, a, spp=SPP, num_bounces=BOUNCES
+            s, c, a, spp=SPP, num_bounces=BOUNCES, has_dielectric=has_diel
         )
     )
 

@@ -178,8 +178,9 @@ def render_batch_pallas(
     russian_roulette: bool = False,
     row_offset=0,
     full_height: int | None = None,
-    tile_rows: int = 16,  # 16-row tiles: 2.30 vs 1.36 Grays/s at 8 (v5e, 512x512)
+    tile_rows: int = 8,  # best at 512x512 x 64spp on v5e (2.58 Grays/s)
     interpret: bool = False,
+    has_dielectric: bool | None = None,
 ) -> Accumulator:
     """`spp` samples via the fused Pallas TPU megakernel
     (ops/pallas_megakernel.py): the whole sample+bounce loop runs in VMEM,
@@ -206,6 +207,7 @@ def render_batch_pallas(
         tile_rows=tile_rows,
         russian_roulette=russian_roulette,
         interpret=interpret,
+        has_dielectric=has_dielectric,
     )
     return Accumulator(
         color=acc.color + radiance,
@@ -233,16 +235,18 @@ def render_batch_auto(
     russian_roulette: bool = False,
     row_offset=0,
     full_height: int | None = None,
+    has_dielectric: bool | None = None,
 ) -> Accumulator:
     """Fastest available inline backend: Pallas megakernel on TPU with
     lane-aligned widths, XLA loop otherwise.  Scenes using the extended
     primitive kinds (boxes/triangles) take the XLA path — the Pallas
-    kernel currently folds over spheres+planes only."""
+    kernel currently folds over spheres+planes only.  `has_dielectric`
+    (static) elides the kernel's glass block for glass-free scenes."""
     extended = scene.boxes.count or scene.triangles.count
     if not extended and pallas_supported(acc.color.shape[1]):
         return render_batch_pallas(
             scene, camera, acc, spp, num_bounces, russian_roulette,
-            row_offset, full_height,
+            row_offset, full_height, has_dielectric=has_dielectric,
         )
     return render_batch_inline(
         scene, camera, acc, spp, num_bounces, russian_roulette,

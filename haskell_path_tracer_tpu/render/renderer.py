@@ -41,6 +41,7 @@ class Renderer:
 
     def __init__(self, config: RenderConfig):
         self.config = config
+        self._takes_dielectric_flag = False
         if config.algorithm == "inline":
             step_fn = {
                 "auto": integrator.render_batch_auto,
@@ -52,6 +53,7 @@ class Renderer:
                 num_bounces=config.bounces,
                 russian_roulette=config.russian_roulette,
             )
+            self._takes_dielectric_flag = config.kernel in ("auto", "pallas")
         elif config.algorithm == "wavefront":
             step = partial(
                 render_batch_wavefront,
@@ -70,11 +72,20 @@ class Renderer:
             raise ValueError(f"unknown algorithm {config.algorithm!r}")
         # spp must be static (it is a fori_loop bound); donate the
         # accumulator so progressive rendering updates it in place in HBM.
-        self._step = jax.jit(
-            lambda scene, camera, acc, spp: step(scene, camera, acc, spp),
-            static_argnames=("spp",),
-            donate_argnames=("acc",),
-        )
+        if self._takes_dielectric_flag:
+            self._step = jax.jit(
+                lambda scene, camera, acc, spp, has_dielectric: step(
+                    scene, camera, acc, spp, has_dielectric=has_dielectric
+                ),
+                static_argnames=("spp", "has_dielectric"),
+                donate_argnames=("acc",),
+            )
+        else:
+            self._step = jax.jit(
+                lambda scene, camera, acc, spp: step(scene, camera, acc, spp),
+                static_argnames=("spp",),
+                donate_argnames=("acc",),
+            )
 
     def init_accumulator(self, seed: Optional[int] = None) -> Accumulator:
         return integrator.make_accumulator(
@@ -83,7 +94,29 @@ class Renderer:
 
     def step(self, scene: Scene, camera: Camera, acc: Accumulator, spp: int = 1):
         """Render `spp` more samples into the accumulator (async dispatch)."""
+        if self._takes_dielectric_flag:
+            # Scene arrays are concrete here (host side), so the glass-free
+            # fact is a cheap static input; flipping it just retraces once.
+            return self._step(
+                scene, camera, acc, spp, self._scene_has_dielectric(scene)
+            )
         return self._step(scene, camera, acc, spp)
+
+    @staticmethod
+    def _scene_has_dielectric(scene: Scene) -> bool:
+        import numpy as _np
+
+        from ..models.objects import BRDF_DIELECTRIC
+
+        for kinds in (
+            scene.spheres.material.brdf_kind,
+            scene.planes.material.brdf_kind,
+            scene.boxes.material.brdf_kind,
+            scene.triangles.material.brdf_kind,
+        ):
+            if kinds.shape[0] and (_np.asarray(kinds) == BRDF_DIELECTRIC).any():
+                return True
+        return False
 
     def batch_size(self, iterations: int) -> int:
         """The reference's responsiveness/throughput schedule

@@ -60,3 +60,27 @@ def test_pallas_tile_shapes():
         num_bounces=3, tile_rows=8, interpret=True,
     )
     assert out.color.shape == (24, 128, 3)
+
+
+def test_dielectric_elision_is_bit_exact():
+    """has_dielectric=False must be bit-identical on glass-free scenes
+    (the glass block draws no RNG, so eliding it changes nothing)."""
+    scene, cam = world.main_scene(), world.initial_camera()
+    a = render_batch_pallas(
+        scene, cam, make_accumulator(W, H, seed=5), 2,
+        num_bounces=6, interpret=True, has_dielectric=True,
+    )
+    b = render_batch_pallas(
+        scene, cam, make_accumulator(W, H, seed=5), 2,
+        num_bounces=6, interpret=True, has_dielectric=False,
+    )
+    np.testing.assert_array_equal(np.asarray(a.color), np.asarray(b.color))
+    np.testing.assert_array_equal(np.asarray(a.rng), np.asarray(b.rng))
+
+
+def test_auto_detect_dielectric_flag():
+    """trace_inline_pallas auto-detects glass-free scenes outside jit and
+    the Renderer derives the static flag host-side."""
+    from haskell_path_tracer_tpu.render.renderer import Renderer
+
+    assert Renderer._scene_has_dielectric(world.main_scene()) is False
