@@ -66,13 +66,19 @@ def main():
     w, h = args.width, args.height
 
     def timeit(fn, n=5):
+        def barrier(out):
+            # device_get of one element forces real completion (see
+            # bench.py: block_until_ready can return early on tunneled
+            # remote devices).
+            jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
         out = fn()
-        jax.block_until_ready(out)
+        barrier(out)
         times = []
         for _ in range(n):
             t0 = time.perf_counter()
             out = fn()
-            jax.block_until_ready(out)
+            barrier(out)
             times.append(time.perf_counter() - t0)
         return min(times)
 

@@ -29,14 +29,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _fetch_barrier(out):
+    """Force real completion: device_get of one element cannot finish
+    before the producing computation has (block_until_ready has been seen
+    returning early on tunneled remote devices — see bench.py)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(leaf.ravel()[0])
+
+
 def _timeit(fn, n=3):
     out = fn()
-    jax.block_until_ready(out)
+    _fetch_barrier(out)
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        _fetch_barrier(out)
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -186,8 +194,13 @@ def config2():
     w, h, spp, b = 512, 512, 16, 4
     scene, cam = cornell_scene(), hpt.initial_camera()
     acc = hpt.make_accumulator(w, h, seed=0)
+    from haskell_path_tracer_tpu.render.renderer import Renderer
+
+    hd = Renderer._scene_has_dielectric(scene)
     step = jax.jit(
-        lambda s, c, a: render_batch_auto(s, c, a, spp=spp, num_bounces=b)
+        lambda s, c, a: render_batch_auto(
+            s, c, a, spp=spp, num_bounces=b, has_dielectric=hd
+        )
     )
     dt = _timeit(lambda: step(scene, cam, acc))
     _report(2, "cornell8_512x512x16sppx4b_auto", w * h * spp * b, dt)
