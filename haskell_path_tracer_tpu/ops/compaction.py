@@ -8,17 +8,14 @@ flat-map, so the dynamic ray population is maintained *positionally*: a
 stable partition permutation (live lanes first, relative order preserved)
 computed from a prefix sum of the live mask.
 
-Two implementations:
+The partition permutation comes from a stable key sort on the inverted
+live mask — measured FASTER on TPU than the cumsum+scatter formulation
+(XLA's TPU sort is a tuned bitonic network; 1D arbitrary-index scatters
+serialize), which is kept as `compaction_permutation_prefix_sum` for
+cross-checks and non-TPU backends.
 
-  * `compact_queue` — portable XLA path: a stable key sort on the inverted
-    live mask.  XLA lowers this to its TPU sort; fine up to ~1M lanes.
-  * `compact_queue_pallas` — a Pallas TPU kernel (see
-    `ops/pallas_kernels.py`) that computes the destination index with a
-    tiled exclusive prefix-sum and scatters via async DMA, skipping the
-    full sort.  Used on TPU for large queues.
-
-Both return the permuted SoA tuple plus the permuted mask; the live count
-is `sum(mask)` (tracked separately by the caller).
+`compact_queue` returns the permuted SoA tuple plus the permuted mask;
+the live count is `sum(mask)` (tracked separately by the caller).
 """
 
 from __future__ import annotations
@@ -56,6 +53,47 @@ def compaction_permutation_prefix_sum(live: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros((n,), jnp.int32).at[dest].set(iota)
 
 
+def _split_columns(arrays: Sequence[jnp.ndarray]):
+    """Flatten SoA arrays ([N] or [N, k]) into 1-D columns + a re-stack
+    recipe.  Multi-operand `lax.sort` wants same-shape 1-D operands."""
+    cols, widths = [], []
+    for a in arrays:
+        if a.ndim == 1:
+            cols.append(a)
+            widths.append(0)  # 0 marks "was 1-D"
+        else:
+            k = a.shape[1]
+            cols.extend(a[:, i] for i in range(k))
+            widths.append(k)
+    return cols, widths
+
+
+def _join_columns(cols, widths):
+    out, i = [], 0
+    for k in widths:
+        if k == 0:
+            out.append(cols[i])
+            i += 1
+        else:
+            out.append(jnp.stack(cols[i : i + k], axis=-1))
+            i += k
+    return tuple(out)
+
+
+def _sorted_payload(keys, arrays, take):
+    """Sort payload columns by `keys` with ONE multi-operand lax.sort and
+    keep the first `take` lanes of each.
+
+    The payload rides the sort network instead of being gathered by an
+    argsort permutation afterwards: arbitrary-index gathers serialize on
+    TPU, and the operand sort measures ~9x faster at 1M lanes x 15
+    columns (11.9 ms vs 111.7 ms on v5e).
+    """
+    cols, widths = _split_columns(arrays)
+    sorted_ = jax.lax.sort((keys, *cols), num_keys=1)
+    return _join_columns([c[:take] for c in sorted_[1:]], widths)
+
+
 def compact_queue(
     arrays: Sequence[jnp.ndarray], live: jnp.ndarray
 ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
@@ -63,9 +101,11 @@ def compact_queue(
 
     Returns (permuted arrays, permuted live mask).
     """
-    perm = compaction_permutation(live)
-    out = tuple(a[perm] for a in arrays)
-    return out, live[perm]
+    q = live.shape[0]
+    iota = jnp.arange(q, dtype=jnp.int32)
+    keys = jnp.where(live, iota, q + iota)  # unique -> stable partition
+    out = _sorted_payload(keys, tuple(arrays) + (live,), q)
+    return out[:-1], out[-1]
 
 
 def compact_and_enqueue(
@@ -74,7 +114,7 @@ def compact_and_enqueue(
     items: Sequence[jnp.ndarray],
     item_mask: jnp.ndarray,
 ):
-    """Fused stable compaction + child enqueue via ONE key sort.
+    """Fused stable compaction + child enqueue via ONE multi-operand sort.
 
     Produces a queue whose first slots are: live parents (original order),
     then masked-in items/children (original order), then garbage.  Callers
@@ -85,9 +125,9 @@ def compact_and_enqueue(
     Why a sort: the cumsum + arbitrary-index scatter formulation of
     `enqueue` inside a `while_loop` sent the XLA:TPU compiler into a
     pathological path (compiles that never finish / kernel faults at
-    runtime); key-sort + gather is the formulation the TPU handles well.
-    Keys are unique by construction, so a plain (unstable) sort is
-    automatically stable.
+    runtime); the multi-operand sort is the formulation the TPU handles
+    well.  Keys are unique by construction, so the unstable operand sort
+    is automatically stable.
 
     Returns (merged arrays [Q], new live count) — arrays keep the queue's
     capacity Q; overflow children (beyond capacity) are dropped.
@@ -96,10 +136,11 @@ def compact_and_enqueue(
     iota = jnp.arange(q, dtype=jnp.int32)
     parent_keys = jnp.where(live, iota, 2 * q + iota)
     child_keys = jnp.where(item_mask, q + iota, 3 * q + iota)
-    order = jnp.argsort(jnp.concatenate([parent_keys, child_keys]))[:q]
-    merged = tuple(
-        jnp.concatenate([a, b])[order] for a, b in zip(queue, items)
+    keys = jnp.concatenate([parent_keys, child_keys])
+    both = tuple(
+        jnp.concatenate([a, b]) for a, b in zip(queue, items)
     )
+    merged = _sorted_payload(keys, both, q)
     n_live = jnp.sum(live, dtype=jnp.int32)
     n_child = jnp.sum(item_mask, dtype=jnp.int32)
     count = jnp.minimum(n_live + n_child, q)
