@@ -226,12 +226,32 @@ def _nearest_t_prim_small(ray_o, ray_d, scene: Scene):
 
 
 def _nearest_t_prim_chunked(ray_o, ray_d, scene: Scene):
-    """lax.scan over primitive chunks: the intermediate is [rays, CHUNK]
-    instead of [rays, P].  Strict `<` keeps the first-primitive tie-break
-    across and within chunks (argmin returns the first minimum)."""
+    """Large-scene nearest hit.
+
+    Spheres: a Pallas TPU kernel that keeps the running best in registers
+    and streams the sphere table from SMEM (ops/pallas_intersect.py;
+    ~4x the XLA scan at 2M rays x 1k spheres — the scan materializes
+    [rays, CHUNK] intermediates in HBM every step).  Off-TPU, the
+    lax.scan over primitive chunks is the fallback.  Strict `<` keeps the
+    first-primitive tie-break across and within chunks (argmin returns
+    the first minimum)."""
     from ..models.objects import Planes, Spheres
 
     n = scene.spheres.count
+    leading = ray_o.shape[:-1]
+    if n:
+        from . import pallas_intersect as PI
+
+        if PI.supported():
+            t, prim = PI.sphere_nearest_pallas(
+                ray_o.reshape(-1, 3),
+                ray_d.reshape(-1, 3),
+                scene.spheres.pos,
+                scene.spheres.radius,
+            )
+            t = t.reshape(leading)
+            prim = prim.reshape(leading)
+            return _merge_non_sphere(ray_o, ray_d, scene, t, prim)
     pad = (-n) % CHUNK_SIZE
     # Padded entries are masked to INFINITE inside the body (explicit mask
     # rather than sentinel geometry: huge coordinates overflow the f32
@@ -277,9 +297,13 @@ def _nearest_t_prim_chunked(ray_o, ray_d, scene: Scene):
         (t, prim), _ = jax.lax.scan(body, init, (pos_c, rad_c, offsets))
     else:
         t, prim = init
+    return _merge_non_sphere(ray_o, ray_d, scene, t, prim)
 
-    # Non-sphere kinds (few of each) directly, merged in index order so the
-    # first-primitive tie-break holds across kinds.
+
+def _merge_non_sphere(ray_o, ray_d, scene: Scene, t, prim):
+    """Merge the (few) non-sphere kinds into a sphere-only (t, prim) best,
+    in index order so the first-primitive tie-break holds across kinds."""
+
     def merge(t, prim, dists, offset):
         k = dists.shape[-1]
         kt = jnp.min(dists, axis=-1)
@@ -293,7 +317,7 @@ def _nearest_t_prim_chunked(ray_o, ray_d, scene: Scene):
             jnp.where(better, offset + jnp.minimum(karg, k - 1), prim),
         )
 
-    offset = n
+    offset = scene.spheres.count
     if scene.planes.count:
         t, prim = merge(
             t, prim, plane_distances(ray_o, ray_d, scene.planes), offset

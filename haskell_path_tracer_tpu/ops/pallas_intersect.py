@@ -1,0 +1,169 @@
+"""Pallas TPU nearest-hit kernel for large sphere batches.
+
+The XLA chunked scan (`ops/intersect.py:_nearest_t_prim_chunked`)
+materializes [rays, CHUNK] intermediates in HBM on every scan step —
+measured ~62-97 ms for 2M rays x 1000 spheres on v5e, ~5x over the VPU
+FLOP bound.  This kernel keeps the running (best_t, best_prim) in
+registers and streams the sphere table from SMEM (scalar reads with a
+dynamic index), so each ray block is read from HBM exactly once.
+
+Semantics match `sphere_distances` + first-wins argmin exactly
+(/root/reference/src/Scene/Intersection.hs:39-48 accept/reject rules,
+`expMinWith` tie-break /root/reference/src/Util.hs:171-178): ascending
+primitive order with a strict `<` keeps the lowest index on ties.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INFINITE = np.float32(np.finfo(np.float32).max)
+
+LANES = 128
+DEFAULT_BLOCK_ROWS = 64  # best measured at 2M rays x 1k spheres on v5e
+
+
+def _sphere_fold_kernel(
+    geom_ref,  # SMEM [P, 4] f32: cx, cy, cz, radius
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM [TB, 128]
+    t_ref, prim_ref,  # outputs
+    *, num_spheres,
+):
+    ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
+    dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
+    shape = ox.shape
+
+    def body(p, carry):
+        best_t, best_p = carry
+        cx = geom_ref[p, 0]
+        cy = geom_ref[p, 1]
+        cz = geom_ref[p, 2]
+        rad = geom_ref[p, 3]
+        lx, ly, lz = cx - ox, cy - oy, cz - oz
+        tca = lx * dx + ly * dy + lz * dz
+        d2 = lx * lx + ly * ly + lz * lz - tca * tca
+        r2 = rad * rad
+        thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+        t = tca - thc
+        miss = (tca < 0.0) | (d2 > r2) | (t < 0.0)
+        t = jnp.where(miss, INFINITE, t)
+        better = t < best_t
+        return (
+            jnp.where(better, t, best_t),
+            jnp.where(better, p, best_p),
+        )
+
+    best_t, best_p = jax.lax.fori_loop(
+        0,
+        num_spheres,
+        body,
+        (
+            jnp.full(shape, INFINITE, jnp.float32),
+            jnp.zeros(shape, jnp.int32),
+        ),
+    )
+    t_ref[:, :] = best_t
+    prim_ref[:, :] = best_p
+
+
+def _run_kernel(
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    pos: jnp.ndarray,
+    radius: jnp.ndarray,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    interpret: bool = False,
+):
+    n = pos.shape[0]
+    r = ray_o.shape[0]
+    geom = jnp.concatenate([pos, radius[:, None]], axis=-1)  # [P, 4]
+
+    rows = -(-r // LANES)
+    block_rows = max(8, min(block_rows, rows))
+    grid_rows = -(-rows // block_rows) * block_rows
+    pad = grid_rows * LANES - r
+
+    def plane(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,), a.dtype)]
+        ).reshape(grid_rows, LANES)
+
+    planes = [plane(ray_o[:, i]) for i in range(3)] + [
+        plane(ray_d[:, i]) for i in range(3)
+    ]
+
+    row_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_sphere_fold_kernel, num_spheres=n),
+        grid=(grid_rows // block_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [row_spec] * 6,
+        out_specs=[row_spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid_rows, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(geom, *planes)
+    return out[0].reshape(-1)[:r], out[1].reshape(-1)[:r]
+
+
+def _winner_t(ray_o, ray_d, pos, radius, prim, hit_mask):
+    """Differentiable closed-form distance to the winning sphere per ray —
+    the gradient of an argmin-of-distances is the gradient of the winner's
+    distance (away from winner-change discontinuities)."""
+    c = pos[prim]  # [R, 3] — gather's VJP scatter-adds into pos
+    rad = radius[prim]
+    l = c - ray_o
+    tca = jnp.sum(l * ray_d, axis=-1)
+    d2 = jnp.sum(l * l, axis=-1) - tca * tca
+    r2 = rad * rad
+    arg = jnp.where(hit_mask, jnp.maximum(r2 - d2, 1e-12), 1.0)
+    thc = jnp.where(hit_mask, jnp.sqrt(arg), 0.0)
+    return jnp.where(hit_mask, tca - thc, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sphere_nearest_pallas(
+    ray_o, ray_d, pos, radius,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    interpret: bool = False,
+):
+    """Nearest sphere per ray.  ray_o/ray_d are [R, 3]; returns
+    (t [R] f32 with INFINITE misses, prim [R] i32 — lowest index wins
+    ties).  Rays are zero-padded up to a lane multiple internally.
+
+    Differentiable: the VJP recomputes the winner's distance in closed
+    form (one sphere per ray) and pulls the cotangent through that —
+    identical to differentiating the min-of-distances, at O(rays) cost.
+    """
+    return _run_kernel(ray_o, ray_d, pos, radius, block_rows, interpret)
+
+
+def _fwd(ray_o, ray_d, pos, radius, block_rows, interpret):
+    t, prim = _run_kernel(ray_o, ray_d, pos, radius, block_rows, interpret)
+    return (t, prim), (ray_o, ray_d, pos, radius, prim, t < INFINITE)
+
+
+def _bwd(block_rows, interpret, res, cotangents):
+    ray_o, ray_d, pos, radius, prim, hit_mask = res
+    dt, _ = cotangents  # prim is integer output; its cotangent is float0
+    _, vjp = jax.vjp(
+        lambda o, d, p, r: _winner_t(o, d, p, r, prim, hit_mask),
+        ray_o, ray_d, pos, radius,
+    )
+    return vjp(dt)
+
+
+sphere_nearest_pallas.defvjp(_fwd, _bwd)
+
+
+def supported(backend: str | None = None) -> bool:
+    return (backend or jax.default_backend()) == "tpu"
