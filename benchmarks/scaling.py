@@ -59,8 +59,14 @@ def main():
     )
 
     devices = jax.devices()
-    print(json.dumps({"devices": len(devices), "kind": str(devices[0])}),
-          flush=True)
+    virtual = devices[0].platform == "cpu"
+    print(json.dumps({
+        "devices": len(devices), "kind": str(devices[0]),
+        "virtual_mesh": virtual,
+        "note": ("efficiency numbers are meaningless on a virtual CPU mesh "
+                 "(all devices share the host cores); this run validates "
+                 "sharding semantics only") if virtual else "",
+    }), flush=True)
 
     scene, cam = hpt.main_scene(), hpt.initial_camera()
     w, h = args.width, args.height
