@@ -81,10 +81,18 @@ class ViewerState:
         self.rays_per_s = 0.0
         self.moved = False
         self.stop = False
+        self.error = None
 
     def apply_move(self, fwd, right, up, dx, dy, sprint):
+        import math
+
         from .interact import move_camera
 
+        # Reject non-finite input (e.g. /move?fwd=nan) before it poisons
+        # the camera and kills the render loop.
+        vals = (fwd, right, up, dx, dy)
+        if not all(math.isfinite(v) for v in vals):
+            return
         with self.lock:
             self.camera = move_camera(
                 self.camera,
@@ -99,7 +107,20 @@ class ViewerState:
 
 def render_loop(state: ViewerState):
     """`computationLoop` (Main.hs:198-242): step, publish, repeat; camera
-    motion restarts accumulation with the same compiled function."""
+    motion restarts accumulation with the same compiled function.  A crash
+    is recorded in `state.error` (surfaced via /status) instead of
+    silently killing the daemon thread."""
+    try:
+        _render_loop(state)
+    except Exception as e:  # pragma: no cover - depends on runtime faults
+        import traceback
+
+        with state.lock:
+            state.error = f"{type(e).__name__}: {e}"
+        traceback.print_exc()
+
+
+def _render_loop(state: ViewerState):
     from ..utils.image import encode_png, tonemap
 
     renderer = state.renderer
@@ -163,6 +184,7 @@ def make_handler(state: ViewerState):
                         {
                             "iterations": state.iterations,
                             "rays_per_s": round(state.rays_per_s),
+                            "error": state.error,
                         }
                     ).encode()
                 self._send(200, "application/json", body)

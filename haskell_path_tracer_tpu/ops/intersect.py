@@ -125,14 +125,19 @@ def triangle_distances(ray_o, ray_d, tris):
     d = ray_d[..., None, :]  # [..., 1, 3]
     pvec = jnp.cross(d, e2)  # [..., N, 3]
     det = linalg.dot(e1, pvec)  # [..., N]
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
     tvec = ray_o[..., None, :] - tris.v0  # [..., N, 3]
     u = linalg.dot(tvec, pvec) * inv_det
     qvec = jnp.cross(tvec, e1)  # [..., N, 3]
     v = linalg.dot(d, qvec) * inv_det
     t = linalg.dot(e2, qvec) * inv_det
+    # The front-face test must match the plane's `dot(d, n_unit) < -1e-6`
+    # rule: det = -dot(d, cross(e1, e2)) scales with twice the triangle's
+    # area, so compare against eps * |cross(e1, e2)| — an absolute 1e-6
+    # would silently cull every small triangle.
+    n_norm = linalg.norm(jnp.cross(e1, e2))  # [N]
     miss = (
-        (det <= PLANE_DENOM_EPS)
+        (det <= PLANE_DENOM_EPS * n_norm)
         | (u < 0.0)
         | (v < 0.0)
         | (u + v > 1.0)

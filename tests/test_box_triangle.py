@@ -294,3 +294,31 @@ def test_scene_json_roundtrip_with_boxes_triangles(tmp_path):
         float(nearest_hit(o, d, loaded).t[0]),
         float(nearest_hit(o, d, scene).t[0]),
     )
+
+
+def test_tiny_triangle_is_hittable():
+    """The front-face epsilon must scale with triangle area (an absolute
+    1e-6 on the unnormalized Moller-Trumbore determinant silently culled
+    every sub-millimeter triangle)."""
+    tri = make_triangles(
+        [[0.0, 0.0, 0.0]], [[5e-4, 0.0, 0.0]], [[0.0, 5e-4, 0.0]], MAT
+    )
+    t = _t(triangle_distances, [1e-4, 1e-4, 1.0], [0, 0, -1], tri)
+    np.testing.assert_allclose(t, 1.0, rtol=1e-6)
+    # Backface cull still holds for the tiny triangle.
+    assert (
+        _t(triangle_distances, [1e-4, 1e-4, -1.0], [0, 0, 1], tri)
+        == INFINITE
+    )
+    # Near-parallel grazing rays are culled like one-sided planes.
+    big = make_triangles(
+        [[-100.0, -100.0, 0.0]], [[100.0, -100.0, 0.0]], [[0.0, 100.0, 0.0]],
+        MAT,
+    )
+    t = _t(
+        triangle_distances,
+        [0.0, 0.0, 1.0],
+        (np.array([1.0, 0.0, -1e-7]) / np.sqrt(1 + 1e-14)).tolist(),
+        big,
+    )
+    assert t == INFINITE
