@@ -115,6 +115,183 @@ def _run_kernel(
     return out[0].reshape(-1)[:r], out[1].reshape(-1)[:r]
 
 
+def _sphere_fold_clustered_kernel(
+    bounds_ref,  # SMEM [C, 4] f32: bounding sphere cx, cy, cz, r
+    geom_ref,  # SMEM [C * M, 4] f32: Morton-sorted cx, cy, cz, radius
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM [TB, 128]
+    t_ref, prim_ref,  # outputs
+    *, num_clusters, cluster_size,
+):
+    """Two-level nearest hit: per cluster, test the bounding sphere against
+    the whole block and skip the member loop (scalar `lax.cond`) when no
+    lane can produce a hit that beats its current best.  Member semantics
+    are identical to `_sphere_fold_kernel`; only which distances get
+    *computed* changes, never their values."""
+    ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
+    dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
+    shape = ox.shape
+
+    def member_body(p, carry):
+        best_t, best_p = carry
+        cx = geom_ref[p, 0]
+        cy = geom_ref[p, 1]
+        cz = geom_ref[p, 2]
+        rad = geom_ref[p, 3]
+        lx, ly, lz = cx - ox, cy - oy, cz - oz
+        tca = lx * dx + ly * dy + lz * dz
+        d2 = lx * lx + ly * ly + lz * lz - tca * tca
+        r2 = rad * rad
+        thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+        t = tca - thc
+        miss = (tca < 0.0) | (d2 > r2) | (t < 0.0)
+        t = jnp.where(miss, INFINITE, t)
+        better = t < best_t
+        return (
+            jnp.where(better, t, best_t),
+            jnp.where(better, p, best_p),
+        )
+
+    def cluster_body(c, carry):
+        best_t, _ = carry
+        bx = bounds_ref[c, 0]
+        by = bounds_ref[c, 1]
+        bz = bounds_ref[c, 2]
+        br = bounds_ref[c, 3]
+        lx, ly, lz = bx - ox, by - oy, bz - oz
+        tca = lx * dx + ly * dy + lz * dz
+        d2 = lx * lx + ly * ly + lz * lz - tca * tca
+        # Conservative bounds (member center within br of cluster center,
+        # member radius inside br): a member can pass the tca>=0 /
+        # d2<=r^2 accept rules and beat best_t only if all three hold.
+        possible = (d2 <= br * br) & (tca >= -br) & (tca - br < best_t)
+
+        def visit(carry):
+            return jax.lax.fori_loop(
+                c * cluster_size, (c + 1) * cluster_size, member_body, carry
+            )
+
+        return jax.lax.cond(jnp.any(possible), visit, lambda x: x, carry)
+
+    best_t, best_p = jax.lax.fori_loop(
+        0,
+        num_clusters,
+        cluster_body,
+        (
+            jnp.full(shape, INFINITE, jnp.float32),
+            jnp.zeros(shape, jnp.int32),
+        ),
+    )
+    t_ref[:, :] = best_t
+    prim_ref[:, :] = best_p
+
+
+def _run_clustered_kernel(
+    ray_o, ray_d, geom_sorted, bounds,
+    block_rows: int, interpret: bool,
+):
+    c, m = bounds.shape[0], geom_sorted.shape[0] // bounds.shape[0]
+    r = ray_o.shape[0]
+    rows = -(-r // LANES)
+    block_rows = max(8, min(block_rows, rows))
+    grid_rows = -(-rows // block_rows) * block_rows
+    pad = grid_rows * LANES - r
+
+    def plane(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,), a.dtype)]
+        ).reshape(grid_rows, LANES)
+
+    planes = [plane(ray_o[:, i]) for i in range(3)] + [
+        plane(ray_d[:, i]) for i in range(3)
+    ]
+    row_spec = pl.BlockSpec(
+        (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _sphere_fold_clustered_kernel, num_clusters=c, cluster_size=m
+        ),
+        grid=(grid_rows // block_rows,),
+        in_specs=[smem, smem] + [row_spec] * 6,
+        out_specs=[row_spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid_rows, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bounds, geom_sorted, *planes)
+    return out[0].reshape(-1)[:r], out[1].reshape(-1)[:r]
+
+
+DEFAULT_CLUSTERED_BLOCK_ROWS = 16  # smaller blocks -> tighter culling
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def sphere_nearest_clustered(
+    ray_o, ray_d, pos, radius,
+    cluster_size: int = 32,
+    block_rows: int = DEFAULT_CLUSTERED_BLOCK_ROWS,
+    interpret: bool = False,
+):
+    """Nearest sphere per ray through the two-level cluster hierarchy
+    (`ops/accel.py`).  Same contract as `sphere_nearest_pallas` — t [R]
+    with INFINITE misses, prim [R] int32 into the ORIGINAL sphere order —
+    except the tie-break follows Morton order rather than input order
+    (exact float-distance ties between distinct spheres only).
+
+    The hierarchy build is jittable and runs inline; geometry may be a
+    traced argument (inverse rendering of positions still works — the
+    VJP pulls cotangents through the winner's closed-form distance, and
+    the build itself is detached).
+    """
+    t, _, prim = _clustered_fwd_impl(
+        ray_o, ray_d, pos, radius, cluster_size, block_rows, interpret
+    )
+    return t, prim
+
+
+def _clustered_fwd_impl(
+    ray_o, ray_d, pos, radius, cluster_size, block_rows, interpret
+):
+    from .accel import build_clusters
+
+    perm, bounds = build_clusters(pos, radius, cluster_size)
+    geom = jnp.concatenate(
+        [pos[perm], radius[perm][:, None]], axis=-1
+    ).astype(jnp.float32)
+    t, slot = _run_clustered_kernel(
+        jax.lax.stop_gradient(ray_o),
+        jax.lax.stop_gradient(ray_d),
+        jax.lax.stop_gradient(geom),
+        bounds,
+        block_rows,
+        interpret,
+    )
+    return t, slot, perm[slot]
+
+
+def _clustered_fwd(ray_o, ray_d, pos, radius, cluster_size, block_rows,
+                   interpret):
+    t, _, prim = _clustered_fwd_impl(
+        ray_o, ray_d, pos, radius, cluster_size, block_rows, interpret
+    )
+    return (t, prim), (ray_o, ray_d, pos, radius, prim, t < INFINITE)
+
+
+def _clustered_bwd(cluster_size, block_rows, interpret, res, cotangents):
+    ray_o, ray_d, pos, radius, prim, hit_mask = res
+    dt, _ = cotangents
+    _, vjp = jax.vjp(
+        lambda o, d, p, r: _winner_t(o, d, p, r, prim, hit_mask),
+        ray_o, ray_d, pos, radius,
+    )
+    return vjp(dt)
+
+
+sphere_nearest_clustered.defvjp(_clustered_fwd, _clustered_bwd)
+
+
 def _winner_t(ray_o, ray_d, pos, radius, prim, hit_mask):
     """Differentiable closed-form distance to the winning sphere per ray —
     the gradient of an argmin-of-distances is the gradient of the winner's
