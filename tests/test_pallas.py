@@ -78,6 +78,32 @@ def test_dielectric_elision_is_bit_exact():
     np.testing.assert_array_equal(np.asarray(a.rng), np.asarray(b.rng))
 
 
+def test_rolled_sample_loop_is_bit_exact(monkeypatch):
+    """Above SAMPLE_UNROLL_MAX spp the kernel's sample loop rolls into a
+    fori_loop (unrolled Mosaic compile time blows up superlinearly: 16 spp
+    ≈ 8 s, 32 spp > 9 min on v5e).  The RNG draw sequence is identical
+    either way, so rolled must be bit-identical to unrolled."""
+    from haskell_path_tracer_tpu.ops import pallas_megakernel as pmk
+
+    scene, cam = world.main_scene(), world.initial_camera()
+    spp = pmk.SAMPLE_UNROLL_MAX + 4
+    rolled = render_batch_pallas(
+        scene, cam, make_accumulator(W, H, seed=7), spp,
+        num_bounces=3, interpret=True,
+    )
+    monkeypatch.setattr(pmk, "SAMPLE_UNROLL_MAX", spp)
+    unrolled = render_batch_pallas(
+        scene, cam, make_accumulator(W, H, seed=7), spp,
+        num_bounces=3, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rolled.color), np.asarray(unrolled.color)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rolled.rng), np.asarray(unrolled.rng)
+    )
+
+
 def test_auto_detect_dielectric_flag():
     """trace_inline_pallas auto-detects glass-free scenes outside jit and
     the Renderer derives the static flag host-side."""
