@@ -144,9 +144,21 @@ def _quat_rotate(qw, qx, qy, qz, vx, vy, vz):
     return ox, oy, oz
 
 
+def _table_rows(table, num_rows, num_cols=8):
+    """Unpack a [P, 8] table value into P lists of 8 scalars — the form the
+    unrolled fold consumes, and (crucially) a pytree of scalar leaves that
+    `jax.vjp` can return per-entry cotangents for (the backward kernel's
+    scene-parameter gradients)."""
+    return [[table[p, i] for i in range(num_cols)] for p in range(num_rows)]
+
+
 def _nearest_hit_fold(geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz):
-    """Unrolled nearest-hit over the scene tables.  All operands are
-    [TH, W] planes; returns a dict of hit fields."""
+    """Unrolled nearest-hit over the scene tables (as scalar rows from
+    `_table_rows`, or [P, 8] arrays for backward compatibility).  All ray
+    operands are [TH, W] planes; returns a dict of hit fields."""
+    if not isinstance(geom, (list, tuple)):
+        geom = _table_rows(geom, num_prims)
+        mat = _table_rows(mat, num_prims)
     shape = ox.shape
     best_t = jnp.full(shape, INFINITE, jnp.float32)
     b_ax = jnp.zeros(shape, jnp.float32)  # sphere center | plane normal x
@@ -161,8 +173,8 @@ def _nearest_hit_fold(geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz)
     b_sp = jnp.zeros(shape, jnp.float32)  # is_sphere
 
     for p in range(num_prims):
-        g = [geom[p, i] for i in range(8)]
-        m = [mat[p, i] for i in range(8)]
+        g = geom[p]
+        m = mat[p]
         if p < num_spheres:
             cx, cy, cz, rad = g[0], g[1], g[2], g[3]
             lx, ly, lz = cx - ox, cy - oy, cz - oz
@@ -219,6 +231,17 @@ def _nearest_hit_fold(geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz)
     )
 
 
+def _draw_vec(ra, rb, rc, rctr):
+    """genVec (/root/reference/src/Util.hs:114-118): three SFC32 uniforms
+    mapped to [-1, 1], advancing the rng planes by exactly 3 draws."""
+    ux, ra, rb, rc, rctr = _uniform(ra, rb, rc, rctr)
+    uy, ra, rb, rc, rctr = _uniform(ra, rb, rc, rctr)
+    uz, ra, rb, rc, rctr = _uniform(ra, rb, rc, rctr)
+    return (
+        ux * 2.0 - 1.0, uy * 2.0 - 1.0, uz * 2.0 - 1.0, ra, rb, rc, rctr
+    )
+
+
 def _brdf_sample(h, dx, dy, dz, ra, rb, rc, rctr, has_dielectric=True):
     """calcNextRay (Trace.hs:394-435) on planes.  Returns next ray origin/
     direction, throughput modifier (3 planes), advanced rng.
@@ -226,11 +249,16 @@ def _brdf_sample(h, dx, dy, dz, ra, rb, rc, rctr, has_dielectric=True):
     `has_dielectric=False` (a static, host-derived fact about the scene's
     material kinds) elides the glass block entirely — it consumes no RNG
     draws, so skipping it is bit-exact for dielectric-free scenes."""
-    ux, ra, rb, rc, rctr = _uniform(ra, rb, rc, rctr)
-    uy, ra, rb, rc, rctr = _uniform(ra, rb, rc, rctr)
-    uz, ra, rb, rc, rctr = _uniform(ra, rb, rc, rctr)
-    vx, vy, vz = ux * 2.0 - 1.0, uy * 2.0 - 1.0, uz * 2.0 - 1.0
+    vx, vy, vz, ra, rb, rc, rctr = _draw_vec(ra, rb, rc, rctr)
+    out = _brdf_sample_from_vec(h, dx, dy, dz, vx, vy, vz, has_dielectric)
+    return out + (ra, rb, rc, rctr)
 
+
+def _brdf_sample_from_vec(h, dx, dy, dz, vx, vy, vz, has_dielectric=True):
+    """The pure-math half of `_brdf_sample`: BRDF importance sampling from
+    a pre-drawn random vector (vx, vy, vz in [-1, 1]).  Factored out so the
+    backward kernel can differentiate one bounce with the RNG detached —
+    returns (next origin x3, next direction x3, throughput modifier x3)."""
     nx, ny, nz = h["nx"], h["ny"], h["nz"]
     p = h["pr"]
 
@@ -260,8 +288,7 @@ def _brdf_sample(h, dx, dy, dz, ra, rb, rc, rctr, has_dielectric=True):
         no_y = h["hy"] + oy2 * EPSILON
         no_z = h["hz"] + oz2 * EPSILON
         return (no_x, no_y, no_z, ox2, oy2, oz2,
-                h["cr"] * scale, h["cg"] * scale, h["cb"] * scale,
-                ra, rb, rc, rctr)
+                h["cr"] * scale, h["cg"] * scale, h["cb"] * scale)
 
     # Dielectric (glass), Fresnel choice via vx-derived uniform
     cos_i = -(dx * nx + dy * ny + dz * nz)
@@ -304,8 +331,45 @@ def _brdf_sample(h, dx, dy, dz, ra, rb, rc, rctr, has_dielectric=True):
     tm_r = h["cr"] * scale
     tm_g = h["cg"] * scale
     tm_b = h["cb"] * scale
-    return (no_x, no_y, no_z, ox2, oy2, oz2, tm_r, tm_g, tm_b,
-            ra, rb, rc, rctr)
+    return (no_x, no_y, no_z, ox2, oy2, oz2, tm_r, tm_g, tm_b)
+
+
+def _bounce_core(
+    geom_rows, mat_rows, num_spheres, num_prims, has_dielectric,
+    ox, oy, oz, dx, dy, dz, th_r, th_g, th_b, vx, vy, vz,
+):
+    """One bounce as a pure function of (scene tables, float state, random
+    vector) — the differentiation unit of the backward megakernel.
+
+    Returns (next origin x3, next direction x3, next throughput x3,
+    emission contribution x3, dead mask).  Dead lanes (nearZero throughput
+    or miss, Trace.hs:364-365) keep their ray, contribute zero emission and
+    zero their throughput — identical semantics (and identical f32 op
+    order) to the forward kernel's bounce, which is cross-checked bit-exact
+    against the XLA integrator in tests/test_pallas.py.
+    """
+    h = _nearest_hit_fold(
+        geom_rows, mat_rows, num_spheres, num_prims, ox, oy, oz, dx, dy, dz
+    )
+    q = th_r * th_r + th_g * th_g + th_b * th_b
+    dead = (q <= NEAR_ZERO_EPS) | ~h["hit"]
+
+    (no_x, no_y, no_z, nd_x, nd_y, nd_z, tm_r, tm_g, tm_b) = (
+        _brdf_sample_from_vec(h, dx, dy, dz, vx, vy, vz, has_dielectric)
+    )
+    em_r = jnp.where(dead, 0.0, h["cr"] * h["il"] * th_r)
+    em_g = jnp.where(dead, 0.0, h["cg"] * h["il"] * th_g)
+    em_b = jnp.where(dead, 0.0, h["cb"] * h["il"] * th_b)
+
+    sel = lambda a_, b_: jnp.where(dead, a_, b_)
+    return (
+        sel(ox, no_x), sel(oy, no_y), sel(oz, no_z),
+        sel(dx, nd_x), sel(dy, nd_y), sel(dz, nd_z),
+        jnp.where(dead, 0.0, th_r * tm_r),
+        jnp.where(dead, 0.0, th_g * tm_g),
+        jnp.where(dead, 0.0, th_b * tm_b),
+        em_r, em_g, em_b, dead,
+    )
 
 
 def _megakernel_body(
@@ -344,22 +408,12 @@ def _megakernel_body(
         def bounce(i, st):
             (ox, oy, oz, dx, dy, dz, ra, rb, rc, rctr,
              res_r, res_g, res_b, th_r, th_g, th_b) = st
-            h = _nearest_hit_fold(
-                geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz
-            )
-            q = th_r * th_r + th_g * th_g + th_b * th_b
-            dead = (q <= NEAR_ZERO_EPS) | ~h["hit"]
-
+            vx, vy, vz, ra2, rb2, rc2, rctr2 = _draw_vec(ra, rb, rc, rctr)
             (no_x, no_y, no_z, nd_x, nd_y, nd_z,
-             tm_r, tm_g, tm_b, ra2, rb2, rc2, rctr2) = _brdf_sample(
-                h, dx, dy, dz, ra, rb, rc, rctr,
-                has_dielectric=has_dielectric,
+             nth_r, nth_g, nth_b, em_r, em_g, em_b, dead) = _bounce_core(
+                geom, mat, num_spheres, num_prims, has_dielectric,
+                ox, oy, oz, dx, dy, dz, th_r, th_g, th_b, vx, vy, vz,
             )
-            nr = res_r + h["cr"] * h["il"] * th_r
-            ng = res_g + h["cg"] * h["il"] * th_g
-            nb = res_b + h["cb"] * h["il"] * th_b
-
-            nth_r, nth_g, nth_b = th_r * tm_r, th_g * tm_g, th_b * tm_b
             if russian_roulette:
                 u, ra2, rb2, rc2, rctr2 = _uniform(ra2, rb2, rc2, rctr2)
                 p_surv = jnp.clip(
@@ -368,20 +422,18 @@ def _megakernel_body(
                 active = jnp.asarray(i, jnp.int32) >= rr_start
                 killed = active & (u >= p_surv)
                 scale = jnp.where(active, 1.0 / p_surv, 1.0)
+                # Dead lanes are already zeroed; 0 * scale stays 0.
                 nth_r = jnp.where(killed, 0.0, nth_r * scale)
                 nth_g = jnp.where(killed, 0.0, nth_g * scale)
                 nth_b = jnp.where(killed, 0.0, nth_b * scale)
 
             sel = lambda a_, b_: jnp.where(dead, a_, b_)
             return (
-                sel(ox, no_x), sel(oy, no_y), sel(oz, no_z),
-                sel(dx, nd_x), sel(dy, nd_y), sel(dz, nd_z),
+                no_x, no_y, no_z, nd_x, nd_y, nd_z,
                 sel(ra, ra2), sel(rb, rb2), sel(rc, rc2),
                 sel(rctr, rctr2),
-                sel(res_r, nr), sel(res_g, ng), sel(res_b, nb),
-                jnp.where(dead, 0.0, nth_r),
-                jnp.where(dead, 0.0, nth_g),
-                jnp.where(dead, 0.0, nth_b),
+                res_r + em_r, res_g + em_g, res_b + em_b,
+                nth_r, nth_g, nth_b,
             )
 
         st = (ox, oy, oz, dx, dy, dz, ra, rb, rc, rctr,

@@ -55,11 +55,20 @@ class Renderer:
             )
             self._takes_dielectric_flag = config.kernel in ("auto", "pallas")
         elif config.algorithm == "wavefront":
-            step = partial(
-                render_batch_wavefront,
-                num_bounces=config.bounces,
-                russian_roulette=config.russian_roulette,
-            )
+            if config.split:
+                from .wavefront import render_batch_wavefront_split
+
+                step = partial(
+                    render_batch_wavefront_split,
+                    num_bounces=config.bounces,
+                    queue_factor=config.queue_factor,
+                )
+            else:
+                step = partial(
+                    render_batch_wavefront,
+                    num_bounces=config.bounces,
+                    russian_roulette=config.russian_roulette,
+                )
         elif config.algorithm == "physical":
             from .nee import render_batch_physical
 
@@ -170,15 +179,26 @@ class Renderer:
         """
         if self.config.algorithm != "wavefront":
             return None
-        from .wavefront import depth_histogram, render_sample_wavefront
+        from .wavefront import (
+            depth_histogram,
+            render_sample_wavefront,
+            render_sample_wavefront_split,
+        )
 
         @partial(jax.jit, static_argnames=("bounces",))
         def probe(scene, camera, acc, bounces):
-            _, stats = render_sample_wavefront(
-                scene, camera, acc, num_bounces=bounces,
-                russian_roulette=self.config.russian_roulette,
-                return_stats=True,
-            )
+            if self.config.split:
+                _, stats = render_sample_wavefront_split(
+                    scene, camera, acc, num_bounces=bounces,
+                    queue_factor=self.config.queue_factor,
+                    return_stats=True,
+                )
+            else:
+                _, stats = render_sample_wavefront(
+                    scene, camera, acc, num_bounces=bounces,
+                    russian_roulette=self.config.russian_roulette,
+                    return_stats=True,
+                )
             return stats.occupancy, depth_histogram(stats), stats.capacity
 
         occ, hist, cap = probe(scene, camera, acc, self.config.bounces)

@@ -40,6 +40,11 @@ class RenderConfig:
     reseed_interval: int = 2000
     # Unbiased early termination (the reference's TODO, Trace.hs:338-340).
     russian_roulette: bool = False
+    # Deterministic dielectric ray splitting (wavefront variant only):
+    # trace BOTH Fresnel branches at every glass hit instead of choosing
+    # one stochastically — the feature the reference stubbed
+    # (/root/reference/src/Scene/Trace.hs:116-118, 326-328).
+    split: bool = False
     # Wavefront queue capacity as a multiple of the pixel count (1.0 = one
     # slot per primary ray; >1 leaves room for ray splitting).
     queue_factor: float = 1.0
@@ -67,6 +72,17 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
         "--no-nee", dest="nee", action="store_false", default=True,
         help="disable next-event estimation in physical mode",
     )
+    parser.add_argument(
+        "--split", action="store_true", default=False,
+        help="wavefront variant: deterministic dielectric ray splitting "
+        "(both Fresnel branches traced; removes glass branch-choice "
+        "variance)",
+    )
+    parser.add_argument(
+        "--queue-factor", type=float, default=2.0,
+        help="split-queue capacity as a multiple of the pixel count "
+        "(children beyond capacity are dropped)",
+    )
     parser.add_argument("--bounces", type=int, default=d.bounces)
     parser.add_argument("--spp", type=int, default=64, help="total samples")
     parser.add_argument("--seed", type=int, default=None)
@@ -86,5 +102,7 @@ def config_from_args(args: argparse.Namespace) -> RenderConfig:
         reseed_interval=args.reseed_interval,
         russian_roulette=args.russian_roulette,
         nee=getattr(args, "nee", True),
+        split=getattr(args, "split", False),
+        queue_factor=getattr(args, "queue_factor", 2.0),
         seed=args.seed,
     )
