@@ -46,6 +46,7 @@ from .render.wavefront import (
     WavefrontStats,
     depth_histogram,
     render_batch_wavefront,
+    render_batch_wavefront_split,
     render_sample_wavefront,
     render_sample_wavefront_split,
 )
@@ -53,4 +54,4 @@ from .render.nee import render_batch_physical, render_sample_physical
 from .render.renderer import Renderer
 from .utils.config import RenderConfig
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -46,14 +46,36 @@ def render_radiance(
     height: int,
     num_bounces: int = 4,
     spp: int = 1,
+    backend: str = "xla",
+    has_dielectric: bool | None = None,
 ) -> jnp.ndarray:
     """Differentiable expected-radiance image [H, W, 3].
 
     Averages `spp` samples, each advancing the RNG state; the state itself
     is treated as a constant (no tangent), so the function is a
     deterministic, differentiable map from scene parameters to pixels.
+
+    ``backend="pallas"`` routes through the fused differentiable TPU
+    megakernel (ops/pallas_megakernel_vjp.py): identical detach semantics,
+    bit-equal forward, and the whole fwd+bwd bounce loop stays in VMEM —
+    ~5x the rematerialized-XLA path's fwd+bwd throughput on TPU.  XLA is
+    the default because it covers every primitive kind (the Pallas kernel
+    folds spheres+planes only) and every backend.  `has_dielectric=False`
+    (a static host-side fact, see Renderer._scene_has_dielectric) elides
+    the glass block bit-exactly on the Pallas path.
     """
     rays = primary_rays(camera, width, height)
+
+    if backend == "pallas":
+        from ..ops.pallas_megakernel_vjp import trace_inline_pallas_diff
+
+        rad_sum, _ = trace_inline_pallas_diff(
+            scene, rays, rng_state, num_bounces=num_bounces, spp=spp,
+            has_dielectric=has_dielectric,
+        )
+        return rad_sum / spp
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
 
     def sample(carry, _):
         rng = carry
@@ -137,12 +159,17 @@ def image_loss(
     rng_state: jnp.ndarray,
     num_bounces: int = 4,
     spp: int = 1,
+    backend: str = "xla",
+    has_dielectric: bool | None = None,
 ) -> jnp.ndarray:
     """MSE between the rendered radiance image and a target — the inverse
     rendering objective."""
     scene = params_to_scene(params, template)
     h, w = target.shape[:2]
-    img = render_radiance(scene, camera, rng_state, w, h, num_bounces, spp)
+    img = render_radiance(
+        scene, camera, rng_state, w, h, num_bounces, spp, backend,
+        has_dielectric,
+    )
     return jnp.mean((img - target) ** 2)
 
 

@@ -182,7 +182,11 @@ def _nearest_hit_fold(geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz)
             d2 = lx * lx + ly * ly + lz * lz - tca * tca
             r2 = rad * rad
             outside = d2 > r2
-            thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+            # Double-where (same as ops/intersect.py:sphere_distances):
+            # sqrt'(0) = inf would leak NaN into the backward sweep through
+            # the masked branch; pin miss lanes to a safe argument.
+            thc_arg = jnp.where(outside, 1.0, jnp.maximum(r2 - d2, 1e-12))
+            thc = jnp.where(outside, 0.0, jnp.sqrt(thc_arg))
             t = tca - thc
             miss = (tca < 0.0) | outside | (t < 0.0)
             t = jnp.where(miss, INFINITE, t)
@@ -217,9 +221,13 @@ def _nearest_hit_fold(geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz)
     hx, hy, hz = ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe
     # normal: sphere -> normalize(hitpoint - center); plane -> stored normal
     sx, sy_, sz = hx - b_ax, hy - b_ay, hz - b_az
-    # 1/sqrt (not rsqrt) to match the XLA path's normalize_safe bit-for-bit.
-    inv = 1.0 / jnp.maximum(
-        jnp.sqrt(sx * sx + sy_ * sy_ + sz * sz), 1e-20
+    # 1/sqrt (not rsqrt) to match the XLA path's normalize_safe; the inner
+    # where keeps the backward sweep finite on degenerate (all-miss,
+    # origin-at-zero) lanes where the offset is exactly the zero vector.
+    sq = sx * sx + sy_ * sy_ + sz * sz
+    sq_ok = sq > 1e-20
+    inv = jnp.where(
+        sq_ok, 1.0 / jnp.sqrt(jnp.where(sq_ok, sq, 1.0)), 1e20
     )
     is_s = b_sp > 0.5
     nx = jnp.where(is_s, sx * inv, b_ax)
@@ -311,8 +319,10 @@ def _brdf_sample_from_vec(h, dx, dy, dz, vx, vy, vz, has_dielectric=True):
     tx_ = eta * dx + k * fnx
     ty_ = eta * dy + k * fny
     tz_ = eta * dz + k * fnz
-    tinv = 1.0 / jnp.maximum(
-        jnp.sqrt(tx_ * tx_ + ty_ * ty_ + tz_ * tz_), 1e-20
+    tq = tx_ * tx_ + ty_ * ty_ + tz_ * tz_
+    tq_ok = tq > 1e-20
+    tinv = jnp.where(
+        tq_ok, 1.0 / jnp.sqrt(jnp.where(tq_ok, tq, 1.0)), 1e20
     )
     ddx = jnp.where(take_refl, rx, tx_ * tinv)
     ddy = jnp.where(take_refl, ry, ty_ * tinv)

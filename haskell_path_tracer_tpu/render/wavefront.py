@@ -244,12 +244,13 @@ def render_sample_wavefront_split(
     scatter at 1.8 Mrays/s — XLA:TPU serializes arbitrary-index scatters —
     while this formulation has no per-bounce queue maintenance at all.
 
-    ``queue_factor`` bounds total work: the traversal loop is capped at
-    ``queue_factor * num_bounces`` steps per sample (each live lane
-    advances one path segment per step); subtrees beyond the cap are
-    dropped, which only removes energy.  The default (2x) covers every
-    split-free path plus one full glass subtree chain; raise it for deep
-    nested-glass scenes.
+    ``queue_factor`` sizes the per-lane stack: ``round(queue_factor)``
+    pending children per lane (children pushed past that are dropped —
+    they only remove energy), and the traversal loop is capped at
+    ``num_bounces * (1 + slots)`` steps (it exits early when every lane
+    drains).  The default (2 slots) loses nothing until a single path
+    holds three unfinished glass subtrees at once; raise it for deep
+    nested-glass scenes, at proportional stack-traffic cost.
 
     Lane i is pixel i forever, so radiance accumulates per lane and RNG
     write-back is positional — on split-free scenes this integrator is
@@ -259,9 +260,11 @@ def render_sample_wavefront_split(
     """
     height, width = acc.color.shape[:2]
     num_pixels = height * width
-    # One push per depth level, strictly increasing depths -> exact bound.
-    stack_depth = max(num_bounces - 1, 1)
-    max_steps = max(int(round(queue_factor * num_bounces)), num_bounces + 1)
+    # num_bounces - 1 slots would be lossless (one push per depth level,
+    # strictly increasing depths); queue_factor trades stack traffic for
+    # rare drops exactly like the reference-era queue capacity did.
+    stack_depth = max(1, min(num_bounces - 1, int(round(queue_factor))))
+    max_steps = num_bounces * (1 + stack_depth)
 
     rays = primary_rays(camera, width, height)
 
@@ -317,13 +320,18 @@ def render_sample_wavefront_split(
         a3 = alive[..., None]
 
         # Per-depth segment telemetry (one one-hot accumulate; depth is
-        # already < num_bounces wherever alive).
-        occ_idx = jnp.arange(num_bounces + 1, dtype=jnp.int32)
-        occupancy = s.occupancy + jnp.sum(
-            (s.depth[None, :] == occ_idx[:, None]) & alive[None, :],
-            axis=1,
-            dtype=jnp.int32,
-        )
+        # already < num_bounces wherever alive).  Only materialized when
+        # the caller asked for stats — the [B+1, P] intermediate is pure
+        # overhead otherwise.
+        if return_stats:
+            occ_idx = jnp.arange(num_bounces + 1, dtype=jnp.int32)
+            occupancy = s.occupancy + jnp.sum(
+                (s.depth[None, :] == occ_idx[:, None]) & alive[None, :],
+                axis=1,
+                dtype=jnp.int32,
+            )
+        else:
+            occupancy = s.occupancy
 
         contrib = brdf_ops.emittance(hit) * s.throughput
         accum = jnp.where(a3, s.accum + contrib, s.accum)
@@ -351,6 +359,7 @@ def render_sample_wavefront_split(
             & (f_refl < 1.0)
             & ~linalg.near_zero(child_thpt)
             & (s.depth + 1 < num_bounces)
+            & (s.sp < stack_depth)  # full stack -> child dropped
         )
         child_o = hit.point + refr_dir * EPSILON
 
@@ -496,7 +505,8 @@ def render_batch_wavefront_split(
         occ0 = jnp.zeros((num_bounces + 1,), jnp.int32)
         out, occ = jax.lax.fori_loop(0, spp, body_s, (acc, occ0))
         h, w = acc.color.shape[:2]
-        max_steps = max(int(round(queue_factor * num_bounces)), num_bounces + 1)
+        slots = max(1, min(num_bounces - 1, int(round(queue_factor))))
+        max_steps = num_bounces * (1 + slots)
         return out, WavefrontStats(occupancy=occ, capacity=h * w * max_steps)
 
     def body(_, a):

@@ -172,7 +172,7 @@ def test_wavefront_split_stats_can_grow():
     # wavefront could ever produce at the same depths... which at tiny
     # sizes reduces to: some depth > 0 still carries segments and capacity
     # reflects the work cap (pixels * traversal steps).
-    max_steps = 2 * B  # default queue_factor=2.0
+    max_steps = B * (1 + 2)  # default queue_factor=2.0 -> 2 stack slots
     assert stats.capacity == W_ * H_ * max_steps
     assert occ[1:].sum() > 0
     ref = render_sample_wavefront_split(scene, camera, acc, num_bounces=B)
