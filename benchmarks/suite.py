@@ -6,11 +6,11 @@ single-line headline the driver scrapes).  Run on the TPU chip:
     python benchmarks/suite.py            # all configs
     python benchmarks/suite.py 1 4        # a subset
 
-Configs (BASELINE.json):
+Configs (BASELINE.json), all at their specified shapes:
   1. parity scene  — 1 diffuse sphere + plane, 256x256 / 4 spp / 2 bounces
   2. Cornell-ish   — 8 spheres, 512x512 / 16 spp / 4 bounces
   3. dielectric    — glass with ray splitting, 512x512 / 64 spp / 8 bounces
-  4. large scene   — 1920x1088, 1000 spheres, NEE, 256 spp
+  4. large scene   — 1920x1088, 1000 spheres, NEE, 256 spp / 4 bounces
   5. inverse       — gradient step throughput at 512x512 (multi-host
                      scaling is exercised by __graft_entry__.dryrun_multichip)
 """
@@ -176,15 +176,34 @@ def big_scene(n=1000):
 
 def config1():
     import haskell_path_tracer_tpu as hpt
+    from haskell_path_tracer_tpu.render.integrator import render_batch_auto
 
     w, h, spp, b = 256, 256, 4, 2
     scene, cam = parity_scene(), hpt.initial_camera()
     acc = hpt.make_accumulator(w, h, seed=0)
     step = jax.jit(
-        lambda s, c, a: hpt.render_batch_inline(s, c, a, spp=spp, num_bounces=b)
+        lambda s, c, a: render_batch_auto(
+            s, c, a, spp=spp, num_bounces=b, has_dielectric=False
+        )
     )
-    dt = _timeit(lambda: step(scene, cam, acc))
-    _report(1, "parity_256x256x4sppx2b_inline", w * h * spp * b, dt)
+    # This config is dispatch-latency bound (0.5M ray segments is ~0.2 ms
+    # of device work behind a multi-ms host->device launch), so measure it
+    # the way the app actually runs (render/renderer.py batching loop,
+    # Main.hs:204-211): a pipeline of dependent dispatches in flight, timed
+    # end to end.  Single-dispatch round-trip latency is reported alongside.
+    k = 16
+
+    def chained(s, c, a):
+        for _ in range(k):
+            a = step(s, c, a)
+        return a
+
+    dt1 = _timeit(lambda: step(scene, cam, acc))
+    dtk = _timeit(lambda: chained(scene, cam, acc))
+    _report(
+        1, "parity_256x256x4sppx2b_auto", w * h * spp * b * k, dtk,
+        {"note": f"{k} pipelined dispatches; single-dispatch {dt1 * 1e3:.2f} ms"},
+    )
 
 
 def config2():
@@ -210,10 +229,8 @@ def config3():
     import haskell_path_tracer_tpu as hpt
     from haskell_path_tracer_tpu.models.objects import Camera
 
-    # BASELINE workload is 64 spp; throughput measured on an 8-spp
-    # dispatch of the same shape (compile time of the 64-sample loop
-    # dominates otherwise; per-ray throughput is identical).
-    w, h, spp, b = 512, 512, 8, 8
+    # The specified BASELINE shape: 512x512 / 64 spp / 8 bounces.
+    w, h, spp, b = 512, 512, 64, 8
     scene = glass_scene()
     cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
     acc = hpt.make_accumulator(w, h, seed=0)
@@ -227,18 +244,15 @@ def config3():
 
     step = jax.jit(run)
     dt = _timeit(lambda: step(scene, cam, acc), n=2)
-    _report(3, "glass_split_512x512x8sppx8b_wavefront", w * h * spp * b, dt)
+    _report(3, "glass_split_512x512x64sppx8b_wavefront", w * h * spp * b, dt)
 
 
 def config4():
     import haskell_path_tracer_tpu as hpt
     from haskell_path_tracer_tpu.models.objects import Camera
 
-    # The BASELINE workload is 256 spp; throughput is measured on a
-    # 16-spp dispatch of the same shape (the 256-spp render is 16 such
-    # dispatches — progressive rendering makes per-dispatch throughput
-    # the governing number).
-    w, h, spp, b = 1920, 1088, 16, 4
+    # The specified BASELINE shape: 1080p / 1000 spheres / NEE / 256 spp.
+    w, h, spp, b = 1920, 1088, 256, 4
     scene = big_scene(1000)
     cam = Camera.create([0.0, 2.0, 0.0], [0.2, 0.0, 0.0], 90.0)
     acc = hpt.make_accumulator(w, h, seed=0)
@@ -250,7 +264,7 @@ def config4():
     dt = _timeit(lambda: step(scene, cam, acc), n=1)
     # NEE traces 2 rays per bounce (bsdf + shadow).
     _report(
-        4, "big1000_nee_1920x1088x16sppx4b_physical",
+        4, "big1000_nee_1920x1088x256sppx4b_physical",
         w * h * spp * b * 2, dt, {"note": "rays counts bsdf+shadow"},
     )
 
@@ -265,15 +279,34 @@ def config5():
     rng = gen_seeds((h, w), seed=1)
     target = jnp.zeros((h, w, 3), jnp.float32)
     params = G.scene_to_params(scene)
+    # The fused differentiable Pallas megakernel on TPU (fwd + in-VMEM bwd
+    # sweep, ops/pallas_megakernel_vjp.py); rematerialized XLA elsewhere.
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     vg = jax.jit(
         jax.value_and_grad(
-            lambda p: G.image_loss(p, scene, cam, target, rng, num_bounces=b)
+            lambda p: G.image_loss(
+                p, scene, cam, target, rng, num_bounces=b, backend=backend
+            )
         )
     )
-    dt = _timeit(lambda: vg(params))
+    # Measured as a k-step pipelined SGD loop (the real inverse-rendering
+    # usage pattern) — a single dispatch is dominated by host->device
+    # round-trip latency on the tunneled chip (~25 ms), not compute.
+    k, lr = 16, 1e-6
+
+    def opt_loop(p):
+        loss = None
+        for _ in range(k):
+            loss, g = vg(p)
+            p = jax.tree_util.tree_map(lambda a, d: a - lr * d, p, g)
+        return loss
+
+    dt1 = _timeit(lambda: vg(params))
+    dtk = _timeit(lambda: opt_loop(params))
     # fwd + rematerialized bwd ~ 3x fwd ray work.
-    _report(5, "invrender_grad_512x512x1sppx4b", w * h * b * 3, dt,
-            {"note": "fwd+bwd ray segments"})
+    _report(5, f"invrender_grad_512x512x1sppx4b_{backend}",
+            w * h * b * 3 * k, dtk,
+            {"note": f"{k}-step SGD pipeline; single step {dt1 * 1e3:.2f} ms"})
 
 
 def main():

@@ -208,6 +208,21 @@ def _field_table(scene: Scene) -> jnp.ndarray:
 CHUNKED_THRESHOLD = 128
 CHUNK_SIZE = 128
 
+# The reference's declared accel-structure TODO
+# (/root/reference/src/Scene/Objects.hs:55-59) was implemented and MEASURED
+# OUT: a two-level Morton-cluster hierarchy with block-coherent bounding-
+# sphere culling (per-cluster any-reduce + scalar `lax.cond` skip) ran at
+# 20-35 Mrays/s on v5e vs the flat fold's 51-52, on BOTH coherent primary
+# and incoherent bounce rays at 2M rays x 1k uniformly-scattered spheres
+# (cluster radius ~11 in a 60-wide scene leaves nothing to cull, and the
+# vector->scalar sync per cluster costs more than a 32-sphere member loop).
+# Per-ray BVH traversal is off the table on a (8, 128)-SIMD VPU.  The flat
+# fold is VPU-compute-bound at ~110-130 Mrays/s theoretical for P=1000
+# (~35 ops x P per ray at ~3.8e12 op/s); the wins that remain are op-count
+# reduction, query fusion, and block-level dead-lane skips — see
+# `sphere_dual_query` (ops/pallas_intersect.py), which answers the NEE
+# bounce's two queries in one pass over the table (wired in render/nee.py).
+
 
 def _nearest_t_prim_small(ray_o, ray_d, scene: Scene):
     """Direct formulation: one [rays, P] plane + masked-iota min."""
@@ -361,6 +376,21 @@ def nearest_hit(ray_o, ray_d, scene: Scene) -> Hit:
         t, prim = _nearest_t_prim_chunked(ray_o, ray_d, scene)
     else:
         t, prim = _nearest_t_prim_small(ray_o, ray_d, scene)
+    return hit_from_t_prim(ray_o, ray_d, t, prim, scene, use_gather=chunked)
+
+
+def hit_from_t_prim(
+    ray_o, ray_d, t, prim, scene: Scene, use_gather: bool = True
+) -> Hit:
+    """Assemble the full `Hit` payload (point, normal, material) from a
+    resolved (t, prim) pair — the second half of `nearest_hit`, exposed so
+    fused intersection kernels that already produced (t, prim) (e.g. the
+    NEE dual-query path, render/nee.py) share one payload-gather
+    implementation.  `use_gather` selects the row-gather formulation
+    (right for large scenes); False selects the one-hot matmul that rides
+    the MXU for small primitive counts."""
+    num_prims = scene.num_primitives
+    chunked = use_gather
     hit = t < INFINITE
 
     kind_parts = [

@@ -42,7 +42,14 @@ from ..models.objects import (
 )
 from ..ops import brdf as brdf_ops
 from ..ops import rng as rng_ops
-from ..ops.intersect import EPSILON, nearest_hit
+from ..ops.intersect import (
+    CHUNKED_THRESHOLD,
+    EPSILON,
+    INFINITE,
+    hit_from_t_prim,
+    nearest_hit,
+    plane_distances,
+)
 
 TWO_PI = np.float32(2.0 * np.pi)
 
@@ -172,19 +179,195 @@ def sample_light_cone(scene: Scene, point, u_select, u1, u2):
     return direction, inv_pdf, light_idx
 
 
+def _sphere_t_single(point, l_dir, center, radius, eps=EPSILON):
+    """Closed-form distance from `point` to ONE sphere per lane along
+    `l_dir`, with offset-origin acceptance in the unshifted frame
+    (tca >= eps, d2 <= r^2, t >= eps — exactly `sphere_distances` queried
+    from `point + eps * l_dir` with t reported from `point`).  INFINITE
+    on miss.  O(rays) — used for the NEE light distance."""
+    l = center - point
+    tca = linalg.dot(l, l_dir)
+    d2 = linalg.quadrance(l) - tca * tca
+    r2 = radius * radius
+    outside = d2 > r2
+    thc = jnp.where(outside, 0.0, jnp.sqrt(jnp.where(outside, 1.0, jnp.maximum(r2 - d2, 1e-12))))
+    t = tca - thc
+    miss = (tca < eps) | outside | (t < eps)
+    return jnp.where(miss, INFINITE, t)
+
+
+def _trace_physical_fused(
+    scene: Scene,
+    rays: Rays,
+    rng_state: jnp.ndarray,
+    num_bounces: int = 8,
+    interpret: bool = False,
+):
+    """NEE trace with the fused dual-query Pallas kernel: ONE pass over
+    the sphere table per bounce answers both the next-BSDF-ray nearest
+    hit and the shadow occlusion from the shared shade point
+    (ops/pallas_intersect.py:sphere_dual_query), instead of the two
+    independent `nearest_hit` folds of `trace_physical`.
+
+    Sampling decisions (RNG draw order, light/cone sampling, emission
+    bookkeeping) are identical to `trace_physical(..., nee=True)`; only
+    the intersection arithmetic is reorganized into the shade point's
+    frame (t >= eps acceptance instead of an eps-shifted origin — the
+    same accept set, derived in the kernel docstring).  Spheres + planes
+    only; callers fall back to `trace_physical` for boxes/triangles.
+    """
+    from ..ops import pallas_intersect as PI
+
+    n_spheres = scene.spheres.count
+    shape = rays.origin.shape[:-1]
+    pos, radius = scene.spheres.pos, scene.spheres.radius
+    mat = scene.spheres.material
+
+    def dual(point, d_bsdf, l_dir, t_light, l_idx, alive):
+        t, prim, occ = PI.sphere_dual_query(
+            point.reshape(-1, 3),
+            d_bsdf.reshape(-1, 3),
+            l_dir.reshape(-1, 3),
+            t_light.reshape(-1),
+            l_idx.reshape(-1),
+            alive.reshape(-1),
+            pos,
+            radius,
+            interpret=interpret,
+        )
+        return t.reshape(shape), prim.reshape(shape), occ.reshape(shape)
+
+    def merge_planes(o, d, t, prim):
+        """Fold the (few) planes into the sphere-only best, in the shade
+        frame: accept dist >= eps (== dist' >= 0 from the eps-shifted
+        origin, since dist' = dist - eps at equal denominator)."""
+        if not scene.planes.count:
+            return t, prim
+        pd = plane_distances(o, d, scene.planes)  # [..., M]
+        pd = jnp.where(pd < EPSILON, INFINITE, pd)
+        m = pd.shape[-1]
+        kt = jnp.min(pd, axis=-1)
+        iota = jnp.arange(m, dtype=jnp.int32)
+        karg = jnp.min(
+            jnp.where(pd == kt[..., None], iota, m), axis=-1
+        ).astype(jnp.int32)
+        better = kt < t
+        return (
+            jnp.where(better, kt, t),
+            jnp.where(better, n_spheres + jnp.minimum(karg, m - 1), prim),
+        )
+
+    def body(_, state):
+        ray_o, ray_d, t, prim, rng, result, throughput, prev_spec = state
+        hit = hit_from_t_prim(ray_o, ray_d, t, prim, scene)
+        dead = linalg.near_zero(throughput) | ~hit.hit
+
+        # Emission pickup — same rule as trace_physical.
+        is_plane_hit = hit.prim >= n_spheres
+        take_emit = prev_spec | is_plane_hit
+        emit = brdf_ops.emittance(hit) * throughput
+        new_result = result + jnp.where(take_emit[..., None], emit, 0.0)
+
+        _, next_d, tmod, is_spec, rng2 = sample_physical(hit, ray_d, rng)
+
+        un, rng2 = rng_ops.gen_vec(rng2)
+        us = (un + 1.0) * 0.5
+        l_dir, inv_pdf, l_idx = sample_light_cone(
+            scene, hit.point, us[..., 0], us[..., 1], us[..., 2]
+        )
+        t_light = _sphere_t_single(
+            hit.point, l_dir, pos[l_idx], radius[l_idx]
+        )
+        t2, prim2, occ = dual(
+            hit.point, next_d, l_dir, t_light, l_idx, ~dead
+        )
+        t2, prim2 = merge_planes(hit.point, next_d, t2, prim2)
+        if scene.planes.count:
+            pds = plane_distances(hit.point, l_dir, scene.planes)
+            occ = occ | jnp.any(
+                (pds >= EPSILON) & (pds < t_light[..., None]), axis=-1
+            )
+
+        visible = ~occ & (t_light < INFINITE)
+        cos_i = linalg.dot(l_dir, hit.normal)
+        is_matte = hit.brdf_kind == BRDF_MATTE
+        l_emit = mat.color[l_idx] * mat.illuminance[l_idx][..., None]
+        w = visible & is_matte & (cos_i > 0.0)
+        contrib = (
+            throughput
+            * (hit.color / jnp.pi)
+            * l_emit
+            * (cos_i * inv_pdf)[..., None]
+        )
+        new_result = new_result + jnp.where(w[..., None], contrib, 0.0)
+
+        new_throughput = throughput * tmod
+
+        d3 = dead[..., None]
+        return (
+            jnp.where(d3, ray_o, hit.point),
+            jnp.where(d3, ray_d, next_d),
+            jnp.where(dead, t, t2),
+            jnp.where(dead, prim, prim2),
+            jnp.where(dead[..., None], rng, rng2),
+            jnp.where(d3, result, new_result),
+            jnp.where(d3, 0.0, new_throughput),
+            jnp.where(dead, prev_spec, is_spec),
+        )
+
+    # Primary hit: the plain nearest (camera origin is not on a surface,
+    # so t >= 0 acceptance — identical to trace_physical's first bounce).
+    hit0 = nearest_hit(rays.origin, rays.direction, scene)
+    zeros = jnp.zeros_like(rays.origin)
+    init = (
+        rays.origin,
+        rays.direction,
+        hit0.t,
+        hit0.prim,
+        rng_state,
+        zeros,
+        jnp.ones_like(rays.origin),
+        jnp.ones(shape, bool),
+    )
+    state = jax.lax.fori_loop(0, num_bounces, body, init)
+    return state[5], state[4]
+
+
+def _fused_eligible(scene: Scene) -> bool:
+    from ..ops import pallas_intersect as PI
+
+    return (
+        PI.supported()
+        and scene.spheres.count > CHUNKED_THRESHOLD
+        and not scene.boxes.count
+        and not scene.triangles.count
+    )
+
+
 def trace_physical(
     scene: Scene,
     rays: Rays,
     rng_state: jnp.ndarray,
     num_bounces: int = 8,
     nee: bool = True,
+    fused: bool | None = None,
 ):
     """Physically-based path trace; returns (radiance, new rng).
 
     With `nee=False` this is brute-force BSDF-sampling path tracing over
     the corrected BRDFs — the ground-truth estimator the NEE path is
     validated against (tests/test_nee.py: identical means, far lower
-    variance)."""
+    variance).
+
+    `fused=None` auto-routes large sphere scenes on TPU through the
+    dual-query Pallas bounce loop (`_trace_physical_fused` — one sphere
+    fold per bounce instead of two); True/False forces the choice.
+    """
+    if fused is None:
+        fused = nee and _fused_eligible(scene)
+    if fused:
+        assert nee, "the fused path is the NEE estimator"
+        return _trace_physical_fused(scene, rays, rng_state, num_bounces)
     n_spheres = scene.spheres.count
 
     def body(_, state):

@@ -120,3 +120,129 @@ def test_custom_vjp_matches_min_gradient():
     np.testing.assert_allclose(
         np.asarray(gp[1]), np.asarray(gr[1]), rtol=2e-3, atol=1e-4
     )
+
+
+# --- fused dual query (nearest + NEE shadow occlusion) ----------------------
+
+
+from haskell_path_tracer_tpu.ops.intersect import EPSILON
+from haskell_path_tracer_tpu.ops.pallas_intersect import sphere_dual_query
+
+
+def dual_inputs(n_rays, n_spheres, seed=0):
+    spheres = random_spheres(n_spheres, seed=seed)
+    o, d1 = random_rays(n_rays, seed=seed + 1)
+    _, d2 = random_rays(n_rays, seed=seed + 2)
+    rng = np.random.default_rng(seed + 3)
+    t_light = jnp.asarray(rng.uniform(0.5, 15.0, n_rays).astype(np.float32))
+    l_idx = jnp.asarray(rng.integers(0, n_spheres, n_rays).astype(np.int32))
+    alive = jnp.ones((n_rays,), jnp.int32)
+    return spheres, o, d1, d2, t_light, l_idx, alive
+
+
+def reference_dual(spheres, o, d_bsdf, d_shadow, t_light, l_idx):
+    """Brute-force oracle in the eps-shifted frame: the kernel's o-frame
+    acceptance is algebraically the same set (kernel docstring)."""
+    t_s, p_s = reference_nearest(o + EPSILON * d_bsdf, d_bsdf, spheres)
+    t = np.where(np.asarray(t_s) < INFINITE, np.asarray(t_s) + EPSILON,
+                 INFINITE)
+    ts = np.asarray(sphere_distances(o + EPSILON * d_shadow, d_shadow,
+                                     spheres))  # [R, N]
+    hits = ts < INFINITE
+    before = ts + EPSILON < np.asarray(t_light)[:, None]
+    not_light = (
+        np.arange(ts.shape[-1])[None, :] != np.asarray(l_idx)[:, None]
+    )
+    occ = (hits & before & not_light).any(axis=-1)
+    return t, np.asarray(p_s), occ
+
+
+def test_dual_query_matches_reference():
+    spheres, o, d1, d2, tl, li, alive = dual_inputs(1500, 41)
+    t_p, p_p, occ_p = sphere_dual_query(
+        o, d1, d2, tl, li, alive, spheres.pos, spheres.radius,
+        interpret=True,
+    )
+    t_r, p_r, occ_r = reference_dual(spheres, o, d1, d2, tl, li)
+    t_p, p_p, occ_p = map(np.asarray, (t_p, p_p, occ_p))
+    # o-frame vs shifted-frame arithmetic drifts by ~1 ulp; grazing rays
+    # may flip an accept test (same caveat as the nearest-hit kernel).
+    agree = np.isclose(t_p, t_r, rtol=1e-4, atol=1e-4) | (
+        (t_p == INFINITE) & (t_r == INFINITE)
+    )
+    assert agree.mean() > 0.995, agree.mean()
+    assert ((p_p == p_r) | ~agree).mean() > 0.995
+    assert (occ_p == occ_r).mean() > 0.995, (occ_p != occ_r).mean()
+
+
+def test_dual_query_light_never_occludes_itself():
+    # One sphere which IS the light: occlusion must be False even though
+    # the shadow ray hits it before t_light.
+    pos = jnp.asarray([[0.0, 0.0, -5.0]], jnp.float32)
+    rad = jnp.asarray([1.0], jnp.float32)
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (4, 3))
+    tl = jnp.full((4,), 10.0, jnp.float32)
+    li = jnp.zeros((4,), jnp.int32)
+    alive = jnp.ones((4,), jnp.int32)
+    t, p, occ = sphere_dual_query(
+        o, d, d, tl, li, alive, pos, rad, interpret=True
+    )
+    assert not np.asarray(occ).any()
+    np.testing.assert_allclose(np.asarray(t), 4.0, rtol=1e-6)
+
+
+def test_dual_query_occluder_behind_light_is_visible():
+    pos = jnp.asarray([[0.0, 0.0, -8.0]], jnp.float32)  # behind t_light=4
+    rad = jnp.asarray([1.0], jnp.float32)
+    o = jnp.zeros((1, 3), jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    tl = jnp.asarray([4.0], jnp.float32)
+    li = jnp.asarray([7], jnp.int32)  # not in scene: nothing excluded
+    alive = jnp.ones((1,), jnp.int32)
+    _, _, occ = sphere_dual_query(
+        o, d, d, tl, li, alive, pos, rad, interpret=True
+    )
+    assert not bool(occ[0])
+    tl2 = jnp.asarray([12.0], jnp.float32)  # now the sphere is in front
+    _, _, occ2 = sphere_dual_query(
+        o, d, d, tl2, li, alive, pos, rad, interpret=True
+    )
+    assert bool(occ2[0])
+
+
+def test_dual_query_dead_block_skips_fold():
+    spheres, o, d1, d2, tl, li, _ = dual_inputs(256, 9, seed=11)
+    alive = jnp.zeros((256,), jnp.int32)
+    t, p, occ = sphere_dual_query(
+        o, d1, d2, tl, li, alive, spheres.pos, spheres.radius,
+        interpret=True,
+    )
+    # Fully-dead blocks return the fold's init values.
+    assert (np.asarray(t) == INFINITE).all()
+    assert not np.asarray(occ).any()
+
+
+def test_dual_query_vjp_matches_winner_gradient():
+    spheres, o, d1, d2, tl, li, alive = dual_inputs(256, 9, seed=13)
+
+    def loss_dual(pos, radius):
+        t, _, _ = sphere_dual_query(
+            o, d1, d2, tl, li, alive, pos, radius, interpret=True
+        )
+        return jnp.sum(jnp.where(t < INFINITE, t, 0.0))
+
+    def loss_ref(pos, radius):
+        spheres2 = type(spheres)(pos=pos, radius=radius, material=None)
+        ts = sphere_distances(o + EPSILON * d1, d1, spheres2)
+        t = jnp.min(ts, axis=-1)
+        return jnp.sum(jnp.where(t < INFINITE, t + EPSILON, 0.0))
+
+    gp = jax.grad(loss_dual, argnums=(0, 1))(spheres.pos, spheres.radius)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(spheres.pos, spheres.radius)
+    np.testing.assert_allclose(
+        np.asarray(gp[0]), np.asarray(gr[0]), rtol=5e-3, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp[1]), np.asarray(gr[1]), rtol=5e-3, atol=5e-4
+    )
