@@ -11,11 +11,15 @@ straight onto the TPU VPU with no vmap overhead.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # World basis vectors (/root/reference/src/Util.hs:96-102): the camera looks
-# down -Z when unrotated; +Y is up.
-FORWARD = jnp.array([0.0, 0.0, -1.0], dtype=jnp.float32)
-UP = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)
+# down -Z when unrotated; +Y is up.  Host numpy (not jnp): a module-level
+# device array would initialize the XLA backend at import time, which breaks
+# `jax.distributed.initialize` (multihost bring-up must run first); jnp ops
+# convert numpy operands for free.
+FORWARD = np.array([0.0, 0.0, -1.0], dtype=np.float32)
+UP = np.array([0.0, 1.0, 0.0], dtype=np.float32)
 
 # `linear`'s `Epsilon Float` threshold: nearZero a = abs a <= 1e-6.  For V3 the
 # instance is nearZero . quadrance, i.e. |v|^2 <= 1e-6 (see `nearZero` calls at
