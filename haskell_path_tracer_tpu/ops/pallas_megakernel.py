@@ -52,7 +52,21 @@ def _sample_loop_unroll(spp: int) -> int:
 
 
 def _scene_tables(scene: Scene):
-    """Pack the scene into (geom [P,8], mat [P,8]) f32 tables."""
+    """Pack the scene into (geom [P,8|16], mat [P,8]) f32 tables.
+
+    Sphere+plane scenes keep the original 8-column geometry layout
+    (bit-compatible with round-1 kernels).  Scenes with boxes/triangles
+    widen to 16 columns; the fold needs no kind column — primitive order
+    is spheres ++ planes ++ boxes ++ triangles (Scene contract) with
+    static counts, so the per-row kind dispatch happens at trace time:
+
+      sphere    [cx, cy, cz, radius, 0...]
+      plane     [px, py, pz, nx, ny, nz, 0...]
+      box       [lox, loy, loz, hix, hiy, hiz, 0...]
+      triangle  [v0(3), e1(3), e2(3), n_unit(3), |cross(e1,e2)|, 0...]
+    """
+    if scene.boxes.count or scene.triangles.count:
+        return _scene_tables_extended(scene)
     ns = scene.spheres.count
     sm, pm = scene.spheres.material, scene.planes.material
     zeros_s = jnp.zeros((ns,), jnp.float32)
@@ -106,6 +120,83 @@ def _scene_tables(scene: Scene):
     return geom, mat
 
 
+def _mat_rows8(m, n):
+    z = jnp.zeros((n,), jnp.float32)
+    return jnp.stack(
+        [
+            m.color[:, 0],
+            m.color[:, 1],
+            m.color[:, 2],
+            m.illuminance,
+            m.brdf_param,
+            m.brdf_kind.astype(jnp.float32),
+            z,
+            z,
+        ],
+        axis=-1,
+    )
+
+
+def _scene_tables_extended(scene: Scene):
+    """16-column geometry packing for scenes with boxes/triangles."""
+    cols = 16
+
+    def pad(rows):
+        n, c = rows.shape
+        return jnp.concatenate(
+            [rows, jnp.zeros((n, cols - c), jnp.float32)], axis=-1
+        )
+
+    parts_g, parts_m = [], []
+    ns = scene.spheres.count
+    if ns:
+        parts_g.append(
+            pad(
+                jnp.concatenate(
+                    [scene.spheres.pos, scene.spheres.radius[:, None]],
+                    axis=-1,
+                )
+            )
+        )
+        parts_m.append(_mat_rows8(scene.spheres.material, ns))
+    npl = scene.planes.count
+    if npl:
+        parts_g.append(
+            pad(
+                jnp.concatenate(
+                    [scene.planes.pos, scene.planes.normal], axis=-1
+                )
+            )
+        )
+        parts_m.append(_mat_rows8(scene.planes.material, npl))
+    nb = scene.boxes.count
+    if nb:
+        parts_g.append(
+            pad(jnp.concatenate([scene.boxes.lo, scene.boxes.hi], axis=-1))
+        )
+        parts_m.append(_mat_rows8(scene.boxes.material, nb))
+    nt = scene.triangles.count
+    if nt:
+        tr = scene.triangles
+        e1 = tr.v1 - tr.v0
+        e2 = tr.v2 - tr.v0
+        n = jnp.cross(e1, e2)
+        n_norm = jnp.sqrt(jnp.maximum(jnp.sum(n * n, axis=-1), 1e-20))
+        n_unit = n / n_norm[:, None]
+        parts_g.append(
+            pad(
+                jnp.concatenate(
+                    [tr.v0, e1, e2, n_unit, n_norm[:, None]], axis=-1
+                )
+            )
+        )
+        parts_m.append(_mat_rows8(tr.material, nt))
+    return (
+        jnp.concatenate(parts_g, axis=0),
+        jnp.concatenate(parts_m, axis=0),
+    )
+
+
 def _sfc32_next(a, b, c, ctr):
     t = a + b + ctr
     ctr = ctr + jnp.uint32(1)
@@ -152,13 +243,24 @@ def _table_rows(table, num_rows, num_cols=8):
     return [[table[p, i] for i in range(num_cols)] for p in range(num_rows)]
 
 
-def _nearest_hit_fold(geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz):
+def _nearest_hit_fold(
+    geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz,
+    num_boxes=0, num_triangles=0,
+):
     """Unrolled nearest-hit over the scene tables (as scalar rows from
-    `_table_rows`, or [P, 8] arrays for backward compatibility).  All ray
-    operands are [TH, W] planes; returns a dict of hit fields."""
+    `_table_rows`, or [P, 8|16] arrays for backward compatibility).  All
+    ray operands are [TH, W] planes; returns a dict of hit fields.
+
+    Kind dispatch is STATIC: primitive order is spheres ++ planes ++
+    boxes ++ triangles with compile-time counts, so each unrolled row
+    emits only its own kind's intersection math (no kind column, no
+    runtime branching) — the TPU answer to the reference's typeclass
+    unroll (/root/reference/src/Util.hs:156-158)."""
     if not isinstance(geom, (list, tuple)):
-        geom = _table_rows(geom, num_prims)
+        cols = geom.shape[1]
+        geom = _table_rows(geom, num_prims, num_cols=cols)
         mat = _table_rows(mat, num_prims)
+    num_planes = num_prims - num_spheres - num_boxes - num_triangles
     shape = ox.shape
     best_t = jnp.full(shape, INFINITE, jnp.float32)
     b_ax = jnp.zeros(shape, jnp.float32)  # sphere center | plane normal x
@@ -191,7 +293,7 @@ def _nearest_hit_fold(geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz)
             miss = (tca < 0.0) | outside | (t < 0.0)
             t = jnp.where(miss, INFINITE, t)
             ax_, ay_, az_, is_sphere = cx, cy, cz, 1.0
-        else:
+        elif p < num_spheres + num_planes:
             px, py, pz, nx, ny, nz = g[0], g[1], g[2], g[3], g[4], g[5]
             denom = dx * nx + dy * ny + dz * nz
             num = (px - ox) * nx + (py - oy) * ny + (pz - oz) * nz
@@ -202,6 +304,75 @@ def _nearest_hit_fold(geom, mat, num_spheres, num_prims, ox, oy, oz, dx, dy, dz)
             miss = (denom > PLANE_DENOM_EPS) | (dist < 0.0)
             t = jnp.where(miss, INFINITE, dist)
             ax_, ay_, az_, is_sphere = nx, ny, nz, 0.0
+        elif p < num_spheres + num_planes + num_boxes:
+            # Branchless slab method (ops/intersect.py:box_distances), with
+            # the face normal computed in-fold (it depends on the hit
+            # point; ops/intersect.py:box_normal semantics — dominant axis
+            # of the centered, half-size-normalized offset, x wins ties).
+            lox, loy, loz = g[0], g[1], g[2]
+            hix, hiy, hiz = g[3], g[4], g[5]
+            tiny = np.float32(1e-12)
+
+            def slab(lo, hi, o, d):
+                d_safe = jnp.where(
+                    jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d
+                )
+                inv = 1.0 / d_safe
+                t1 = (lo - o) * inv
+                t2 = (hi - o) * inv
+                return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+            nx_lo, nx_hi = slab(lox, hix, ox, dx)
+            ny_lo, ny_hi = slab(loy, hiy, oy, dy)
+            nz_lo, nz_hi = slab(loz, hiz, oz, dz)
+            t_near = jnp.maximum(nx_lo, jnp.maximum(ny_lo, nz_lo))
+            t_far = jnp.minimum(nx_hi, jnp.minimum(ny_hi, nz_hi))
+            miss = (t_near > t_far) | (t_near <= 0.0)
+            t = jnp.where(miss, INFINITE, t_near)
+            t_box = jnp.where(miss, 0.0, t_near)
+            qx = (ox + dx * t_box - (lox + hix) * 0.5) / jnp.maximum(
+                (hix - lox) * 0.5, 1e-12
+            )
+            qy = (oy + dy * t_box - (loy + hiy) * 0.5) / jnp.maximum(
+                (hiy - loy) * 0.5, 1e-12
+            )
+            qz = (oz + dz * t_box - (loz + hiz) * 0.5) / jnp.maximum(
+                (hiz - loz) * 0.5, 1e-12
+            )
+            aqx, aqy, aqz = jnp.abs(qx), jnp.abs(qy), jnp.abs(qz)
+            takex = (aqx >= aqy) & (aqx >= aqz)
+            takey = ~takex & (aqy >= aqz)
+            ax_ = jnp.where(takex, jnp.sign(qx), 0.0)
+            ay_ = jnp.where(takey, jnp.sign(qy), 0.0)
+            az_ = jnp.where(takex | takey, 0.0, jnp.sign(qz))
+            is_sphere = 0.0
+        else:
+            # Möller–Trumbore with precomputed edges and the plane's
+            # one-sided convention (ops/intersect.py:triangle_distances).
+            v0x, v0y, v0z = g[0], g[1], g[2]
+            e1x, e1y, e1z = g[3], g[4], g[5]
+            e2x, e2y, e2z = g[6], g[7], g[8]
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            miss = (
+                (det <= PLANE_DENOM_EPS * g[12])
+                | (u < 0.0)
+                | (v < 0.0)
+                | (u + v > 1.0)
+                | (t < 0.0)
+            )
+            t = jnp.where(miss, INFINITE, t)
+            ax_, ay_, az_, is_sphere = g[9], g[10], g[11], 0.0
 
         better = t < best_t
         best_t = jnp.where(better, t, best_t)
@@ -347,6 +518,7 @@ def _brdf_sample_from_vec(h, dx, dy, dz, vx, vy, vz, has_dielectric=True):
 def _bounce_core(
     geom_rows, mat_rows, num_spheres, num_prims, has_dielectric,
     ox, oy, oz, dx, dy, dz, th_r, th_g, th_b, vx, vy, vz,
+    num_boxes=0, num_triangles=0,
 ):
     """One bounce as a pure function of (scene tables, float state, random
     vector) — the differentiation unit of the backward megakernel.
@@ -359,7 +531,8 @@ def _bounce_core(
     against the XLA integrator in tests/test_pallas.py.
     """
     h = _nearest_hit_fold(
-        geom_rows, mat_rows, num_spheres, num_prims, ox, oy, oz, dx, dy, dz
+        geom_rows, mat_rows, num_spheres, num_prims, ox, oy, oz, dx, dy, dz,
+        num_boxes=num_boxes, num_triangles=num_triangles,
     )
     q = th_r * th_r + th_g * th_g + th_b * th_b
     dead = (q <= NEAR_ZERO_EPS) | ~h["hit"]
@@ -390,6 +563,7 @@ def _megakernel_body(
     out_ra_ref, out_rb_ref, out_rc_ref, out_rctr_ref,
     *, spp, num_bounces, num_spheres, num_prims,
     russian_roulette=False, rr_start=3, has_dielectric=True,
+    num_boxes=0, num_triangles=0,
 ):
     geom = geom_ref[:, :]
     mat = mat_ref[:, :]
@@ -423,6 +597,7 @@ def _megakernel_body(
              nth_r, nth_g, nth_b, em_r, em_g, em_b, dead) = _bounce_core(
                 geom, mat, num_spheres, num_prims, has_dielectric,
                 ox, oy, oz, dx, dy, dz, th_r, th_g, th_b, vx, vy, vz,
+                num_boxes=num_boxes, num_triangles=num_triangles,
             )
             if russian_roulette:
                 u, ra2, rb2, rc2, rctr2 = _uniform(ra2, rb2, rc2, rctr2)
@@ -507,18 +682,20 @@ def trace_inline_pallas(
     concrete (outside jit) and conservatively assumes True under tracing.
     """
     if has_dielectric is None:
-        kinds = scene.spheres.material.brdf_kind
-        pkinds = scene.planes.material.brdf_kind
-        if isinstance(kinds, jax.core.Tracer) or isinstance(
-            pkinds, jax.core.Tracer
-        ):
+        kind_arrays = [
+            part.material.brdf_kind
+            for part in (
+                scene.spheres, scene.planes, scene.boxes, scene.triangles
+            )
+            if part.count
+        ]
+        if any(isinstance(k, jax.core.Tracer) for k in kind_arrays):
             has_dielectric = True
         else:
             import numpy as np_
 
-            has_dielectric = bool(
-                (np_.asarray(kinds) == 2).any()
-                or (np_.asarray(pkinds) == 2).any()
+            has_dielectric = any(
+                bool((np_.asarray(k) == 2).any()) for k in kind_arrays
             )
     H, W = rng_state.shape[:2]
     tile_rows = min(tile_rows, H)
@@ -549,6 +726,8 @@ def trace_inline_pallas(
         russian_roulette=russian_roulette,
         rr_start=rr_start,
         has_dielectric=has_dielectric,
+        num_boxes=scene.boxes.count,
+        num_triangles=scene.triangles.count,
     )
     out = pl.pallas_call(
         kernel,

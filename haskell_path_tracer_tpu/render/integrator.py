@@ -188,14 +188,11 @@ def render_batch_pallas(
     XLA inline path on TPU v5e.  Same semantics as `render_batch_inline`
     (cross-checked in tests/test_pallas.py); radiance can differ in rare
     lanes where transcendental ulps flip a discrete bounce decision.
+    All four primitive kinds fold in-kernel (static kind dispatch over
+    the 16-column geometry table).
     """
     from ..ops.pallas_megakernel import trace_inline_pallas
 
-    if scene.boxes.count or scene.triangles.count:
-        raise NotImplementedError(
-            "the Pallas megakernel folds over spheres+planes only; use "
-            "render_batch_inline / render_batch_auto for box/triangle scenes"
-        )
     height, width = acc.color.shape[:2]
     rays = primary_rays(camera, width, height, row_offset, full_height)
     radiance, rng_out = trace_inline_pallas(
@@ -238,12 +235,10 @@ def render_batch_auto(
     has_dielectric: bool | None = None,
 ) -> Accumulator:
     """Fastest available inline backend: Pallas megakernel on TPU with
-    lane-aligned widths, XLA loop otherwise.  Scenes using the extended
-    primitive kinds (boxes/triangles) take the XLA path — the Pallas
-    kernel currently folds over spheres+planes only.  `has_dielectric`
-    (static) elides the kernel's glass block for glass-free scenes."""
-    extended = scene.boxes.count or scene.triangles.count
-    if not extended and pallas_supported(acc.color.shape[1]):
+    lane-aligned widths (all primitive kinds, incl. boxes/triangles), XLA
+    loop otherwise.  `has_dielectric` (static) elides the kernel's glass
+    block for glass-free scenes."""
+    if pallas_supported(acc.color.shape[1]):
         return render_batch_pallas(
             scene, camera, acc, spp, num_bounces, russian_roulette,
             row_offset, full_height, has_dielectric=has_dielectric,

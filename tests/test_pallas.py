@@ -110,3 +110,89 @@ def test_auto_detect_dielectric_flag():
     from haskell_path_tracer_tpu.render.renderer import Renderer
 
     assert Renderer._scene_has_dielectric(world.main_scene()) is False
+
+
+def _mixed_scene():
+    """All four primitive kinds, incl. an emissive triangle and a glossy
+    box — exercises the 16-column geometry table and the static kind
+    dispatch in the kernel's unrolled fold."""
+    from haskell_path_tracer_tpu.models.objects import (
+        BRDF_GLOSSY,
+        BRDF_MATTE,
+        Scene,
+        make_boxes,
+        make_materials,
+        make_planes,
+        make_spheres,
+        make_triangles,
+    )
+
+    spheres = make_spheres(
+        [[0.0, 0.5, -9.0], [3.0, 4.0, -8.0]],
+        [1.0, 0.8],
+        make_materials(
+            [
+                ([0.9, 0.3, 0.3], 0.0, BRDF_MATTE, 1.2),
+                ([1.0, 1.0, 0.9], 80.0, BRDF_MATTE, 1.0),
+            ]
+        ),
+    )
+    planes = make_planes(
+        [[0.0, -3.0, 0.0]],
+        [[0.0, 1.0, 0.0]],
+        make_materials([([0.4, 0.7, 0.4], 0.0, BRDF_MATTE, 1.5)]),
+    )
+    boxes = make_boxes(
+        [[-3.5, -3.0, -8.0]],
+        [[-1.5, -0.5, -6.0]],
+        make_materials([([0.3, 0.3, 0.9], 0.0, BRDF_GLOSSY, 0.9)]),
+    )
+    tris = make_triangles(
+        [[1.0, -3.0, -6.0]],
+        [[4.0, -3.0, -6.5]],
+        [[2.5, 0.5, -7.0]],
+        make_materials([([0.9, 0.8, 0.2], 5.0, BRDF_MATTE, 1.0)]),
+    )
+    return Scene(spheres=spheres, planes=planes, boxes=boxes, triangles=tris)
+
+
+def test_pallas_matches_xla_mixed_kinds():
+    """Boxes/triangles fold inside the megakernel (VERDICT r1 item #5):
+    same scene through the XLA inline path and the Pallas kernel."""
+    from haskell_path_tracer_tpu.models.objects import Camera
+
+    scene = _mixed_scene()
+    cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
+    ref = render_batch_inline(
+        scene, cam, make_accumulator(W, H, seed=11), 2, num_bounces=5
+    )
+    out = render_batch_pallas(
+        scene, cam, make_accumulator(W, H, seed=11), 2, num_bounces=5,
+        interpret=True,
+    )
+    rng_match = (
+        (np.asarray(ref.rng) == np.asarray(out.rng)).all(axis=-1).mean()
+    )
+    assert rng_match > 0.995, rng_match
+    close = np.isclose(
+        np.asarray(ref.color), np.asarray(out.color), rtol=1e-4, atol=1e-4
+    ).mean()
+    assert close > 0.99, close
+
+
+def test_pallas_mixed_kinds_hits_every_kind():
+    """The mixed scene's kinds are all actually visible from the camera
+    (guards the fixture against silently testing nothing)."""
+    import jax.numpy as jnp
+
+    from haskell_path_tracer_tpu.models.camera import primary_rays
+    from haskell_path_tracer_tpu.models.objects import Camera
+    from haskell_path_tracer_tpu.ops.intersect import nearest_hit
+
+    scene = _mixed_scene()
+    cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
+    rays = primary_rays(cam, W, H)
+    h = nearest_hit(rays.origin, rays.direction, scene)
+    prims = np.unique(np.asarray(h.prim)[np.asarray(h.hit)])
+    # spheres are prims 0-1, plane 2, box 3, triangle 4
+    assert {0, 2, 3, 4}.issubset(set(prims.tolist())), prims
