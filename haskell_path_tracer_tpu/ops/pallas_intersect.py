@@ -233,12 +233,14 @@ def _dual_fold_kernel(
             & ((a2 < 0.0) | (a2 * a2 < h2))
             & (p != li)
         )
-        return best_t, best_p, occ | occ_p
+        # i32 carry, not bool: Mosaic cannot legalize an i1-vector-carrying
+        # scf.if, and the fold sits under the block-skip `lax.cond`.
+        return best_t, best_p, occ | occ_p.astype(jnp.int32)
 
     init = (
         jnp.full(shape, INFINITE, jnp.float32),
         jnp.zeros(shape, jnp.int32),
-        jnp.zeros(shape, bool),
+        jnp.zeros(shape, jnp.int32),
     )
 
     def fold(carry):

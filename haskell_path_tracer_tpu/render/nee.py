@@ -11,11 +11,13 @@ the parity path — this module is that flag, plus explicit light sampling:
   * Glossy surfaces are perfect mirrors tinted by albedo (a delta lobe —
     the physical idealization of the reference's jittered reflection);
   * Dielectrics reuse the Fresnel-stochastic glass of `ops/brdf.py`;
-  * At every matte hit a shadow ray samples one emissive sphere by uniform
-    cone (solid-angle) sampling — the classic NEE estimator.  Emission is
-    then collected from BSDF hits only when the previous bounce was
-    specular (or the emitter is a plane, which NEE does not sample), which
-    makes the estimator unbiased with no double counting.
+  * At every matte hit a shadow ray samples one emitter — spheres by
+    uniform cone (solid-angle) sampling, triangles by uniform area
+    sampling (the Cornell-ceiling case) — the classic NEE estimator.
+    Emission is then collected from BSDF hits only when the previous
+    bounce was specular (or the emitter is a plane/box, which NEE does
+    not sample: planes have infinite extent, boxes fall back to BSDF
+    pickup), which makes the estimator unbiased with no double counting.
 
 NEE is what makes small bright lights tractable (the reference's scene has
 two — /root/reference/src/Scene/World.hs with illuminance 6942/4420 — and
@@ -125,34 +127,23 @@ def sample_physical(hit, ray_d, rng_state):
 
 
 def _light_fields(scene: Scene):
-    """Emissive-sphere table: (mask [N], cdf [N], count)."""
-    illum = scene.spheres.material.illuminance
-    mask = illum > 0.0
+    """NEE-sampled emitter table over spheres ++ triangles (index space:
+    all spheres, then all triangles; non-emissive entries masked out).
+    Planes cannot be area-sampled (infinite extent) and boxes are left to
+    BSDF pickup; both stay unbiased via the emission-collection rule in
+    `trace_physical` (`take_emit`).  Returns (mask [L], cdf [L], count)."""
+    masks = [scene.spheres.material.illuminance > 0.0]
+    if scene.triangles.count:
+        masks.append(scene.triangles.material.illuminance > 0.0)
+    mask = jnp.concatenate(masks) if len(masks) > 1 else masks[0]
     count = jnp.sum(mask.astype(jnp.float32))
     cdf = jnp.cumsum(mask.astype(jnp.float32))
     return mask, cdf, count
 
 
-def sample_light_cone(scene: Scene, point, u_select, u1, u2):
-    """Uniformly pick an emissive sphere, then a direction in its
-    subtended cone.
-
-    Returns (dir [..., 3], inv_pdf [...], light_idx [...] i32) where
-    `inv_pdf` already folds in the 1/num_lights selection probability:
-    contribution = f * cos * L_e * inv_pdf.  Lanes with no valid light get
-    inv_pdf = 0.
-    """
-    mask, cdf, count = _light_fields(scene)
-    # Uniform selection among lights: target rank in [1, count].
-    rank = jnp.floor(u_select * count) + 1.0
-    rank = jnp.clip(rank, 1.0, jnp.maximum(count, 1.0))
-    light_idx = jnp.argmax(
-        cdf[None, ...] >= rank[..., None], axis=-1
-    ).astype(jnp.int32)
-
-    center = scene.spheres.pos[light_idx]
-    radius = scene.spheres.radius[light_idx]
-
+def _cone_sample(center, radius, point, u1, u2):
+    """Uniform direction in the cone subtended by a sphere seen from
+    `point`; returns (dir, solid_angle) with solid_angle = 1/pdf_dir."""
     to_c = center - point
     dc2 = linalg.quadrance(to_c)
     dc = jnp.sqrt(jnp.maximum(dc2, 1e-12))
@@ -169,11 +160,107 @@ def sample_light_cone(scene: Scene, point, u_select, u1, u2):
         + b2 * (sin_t * jnp.sin(phi))[..., None]
         + w * cos_t[..., None]
     )
+    return direction, TWO_PI * (1.0 - cos_max)
 
-    solid_angle = TWO_PI * (1.0 - cos_max)  # = 1/pdf_dir
-    # Invalid when: no lights, or the shade point is inside the light
-    # (dc <= r -> cos_max = 0 handles the cone, but the shadow test would
-    # self-hit; keep it, it converges), or degenerate zero solid angle.
+
+def _tri_area_sample(tris, t_idx, point, u1, u2):
+    """Uniform point on triangle `t_idx`, converted to a solid-angle
+    sample at `point`.  Returns (dir, inv_pdf_dir) — inv_pdf_dir =
+    A * cos_l / d^2, zero when the shade point faces the back side
+    (one-sided triangles emit from the front face only, matching the
+    intersection cull in ops/intersect.py:triangle_distances)."""
+    v0 = tris.v0[t_idx]
+    e1 = tris.v1[t_idx] - v0
+    e2 = tris.v2[t_idx] - v0
+    n = jnp.cross(e1, e2)
+    n_norm = jnp.sqrt(jnp.maximum(linalg.quadrance(n), 1e-20))
+    n_unit = n / n_norm[..., None]
+    area = 0.5 * n_norm
+
+    r1s = jnp.sqrt(jnp.maximum(u1, 1e-12))
+    bu = 1.0 - r1s
+    bv = u2 * r1s
+    q = v0 + e1 * bu[..., None] + e2 * bv[..., None]
+    to_q = q - point
+    d2 = jnp.maximum(linalg.quadrance(to_q), 1e-12)
+    direction = to_q / jnp.sqrt(d2)[..., None]
+    cos_l = -linalg.dot(direction, n_unit)  # front face faces the point
+    inv_pdf = jnp.where(cos_l > 1e-6, area * cos_l / d2, 0.0)
+    return direction, inv_pdf
+
+
+def sample_light(scene: Scene, point, u_select, u1, u2):
+    """Uniformly pick an NEE-sampled emitter (sphere or triangle), then
+    sample a direction toward it — cone sampling for spheres, area
+    sampling for triangles.
+
+    Returns (dir [..., 3], inv_pdf [...], light_prim [...] i32) where
+    `light_prim` is the emitter's GLOBAL primitive index (the value
+    `nearest_hit(...).prim` takes when the shadow ray reaches it) and
+    `inv_pdf` folds in the 1/num_lights selection probability:
+    contribution = f * cos * L_e * inv_pdf.  Lanes with no valid light
+    get inv_pdf = 0.
+    """
+    mask, cdf, count = _light_fields(scene)
+    # Uniform selection among lights: target rank in [1, count].
+    rank = jnp.floor(u_select * count) + 1.0
+    rank = jnp.clip(rank, 1.0, jnp.maximum(count, 1.0))
+    light_idx = jnp.argmax(
+        cdf[None, ...] >= rank[..., None], axis=-1
+    ).astype(jnp.int32)
+
+    ns = scene.spheres.count
+    nt = scene.triangles.count
+    if nt:
+        is_tri = light_idx >= ns
+        s_idx = jnp.clip(light_idx, 0, max(ns - 1, 0))
+        t_idx = jnp.clip(light_idx - ns, 0, nt - 1)
+        dir_s, sa_s = _cone_sample(
+            scene.spheres.pos[s_idx],
+            scene.spheres.radius[s_idx],
+            point,
+            u1,
+            u2,
+        )
+        dir_t, ip_t = _tri_area_sample(scene.triangles, t_idx, point, u1, u2)
+        direction = jnp.where(is_tri[..., None], dir_t, dir_s)
+        inv_pdf_dir = jnp.where(is_tri, ip_t, sa_s)
+        tri_base = ns + scene.planes.count + scene.boxes.count
+        light_prim = jnp.where(is_tri, tri_base + t_idx, s_idx)
+    else:
+        direction, inv_pdf_dir = _cone_sample(
+            scene.spheres.pos[light_idx],
+            scene.spheres.radius[light_idx],
+            point,
+            u1,
+            u2,
+        )
+        light_prim = light_idx
+
+    # Invalid when: no lights, degenerate zero solid angle, or (spheres)
+    # the shade point inside the light / (triangles) behind the emitter.
+    valid = (count > 0) & (inv_pdf_dir > 1e-9)
+    inv_pdf = jnp.where(valid, inv_pdf_dir * count, 0.0)
+    return direction, inv_pdf, light_prim
+
+
+def sample_light_cone(scene: Scene, point, u_select, u1, u2):
+    """Sphere-only light sampling (the original estimator; kept as the
+    fused dual-query path's light sampler — `_fused_eligible` guarantees
+    triangle-free scenes there — and for tests of the cone math)."""
+    mask, cdf, count = _light_fields(scene)
+    rank = jnp.floor(u_select * count) + 1.0
+    rank = jnp.clip(rank, 1.0, jnp.maximum(count, 1.0))
+    light_idx = jnp.argmax(
+        cdf[None, ...] >= rank[..., None], axis=-1
+    ).astype(jnp.int32)
+    direction, solid_angle = _cone_sample(
+        scene.spheres.pos[light_idx],
+        scene.spheres.radius[light_idx],
+        point,
+        u1,
+        u2,
+    )
     valid = (count > 0) & (solid_angle > 1e-9)
     inv_pdf = jnp.where(valid, solid_angle * count, 0.0)
     return direction, inv_pdf, light_idx
@@ -369,19 +456,23 @@ def trace_physical(
         assert nee, "the fused path is the NEE estimator"
         return _trace_physical_fused(scene, rays, rng_state, num_bounces)
     n_spheres = scene.spheres.count
+    # Primitives NEE can never sample as lights: planes (infinite extent)
+    # and boxes.  Their emission always arrives via BSDF pickup; spheres
+    # and triangles are light-sampled (`sample_light`), so their emission
+    # counts only off specular chains.
+    bsdf_only_lo = n_spheres
+    bsdf_only_hi = n_spheres + scene.planes.count + scene.boxes.count
 
     def body(_, state):
         ray_o, ray_d, rng, result, throughput, prev_spec = state
         hit = nearest_hit(ray_o, ray_d, scene)
         dead = linalg.near_zero(throughput) | ~hit.hit
 
-        # Emission pickup: BSDF-found emission counts only off specular
-        # chains (or from non-sphere primitives — planes/boxes/triangles —
-        # which NEE never samples as lights); otherwise NEE already
-        # accounted for it.
-        is_plane_hit = hit.prim >= n_spheres
+        is_bsdf_only = (hit.prim >= bsdf_only_lo) & (
+            hit.prim < bsdf_only_hi
+        )
         if nee:
-            take_emit = prev_spec | is_plane_hit
+            take_emit = prev_spec | is_bsdf_only
         else:
             take_emit = jnp.ones_like(prev_spec)
         emit = brdf_ops.emittance(hit) * throughput
@@ -394,7 +485,7 @@ def trace_physical(
         if nee:
             un, rng2 = rng_ops.gen_vec(rng2)  # 3 draws in [-1, 1]
             us = (un + 1.0) * 0.5
-            l_dir, inv_pdf, l_idx = sample_light_cone(
+            l_dir, inv_pdf, l_idx = sample_light(
                 scene, hit.point, us[..., 0], us[..., 1], us[..., 2]
             )
             cos_i = linalg.dot(l_dir, hit.normal)
@@ -464,6 +555,10 @@ def trace_physical_stateless(
     import jax.random as jr
 
     n_spheres = scene.spheres.count
+    # Same emission-collection rule as `trace_physical`: planes/boxes are
+    # BSDF-only emitters; spheres/triangles are light-sampled.
+    bsdf_only_lo = n_spheres
+    bsdf_only_hi = n_spheres + scene.planes.count + scene.boxes.count
     shape = rays.origin.shape[:-1]
 
     def uniforms(sample_key, bounce, n):
@@ -476,10 +571,10 @@ def trace_physical_stateless(
             hit = nearest_hit(ray_o, ray_d, scene)
             dead = linalg.near_zero(throughput) | ~hit.hit
 
-            # non-sphere emitters (planes/boxes/triangles) are not NEE-
-            # sampled, so their emission always comes from the BSDF path.
-            is_plane_hit = hit.prim >= n_spheres
-            take_emit = (prev_spec | is_plane_hit) if nee else (
+            is_bsdf_only = (hit.prim >= bsdf_only_lo) & (
+                hit.prim < bsdf_only_hi
+            )
+            take_emit = (prev_spec | is_bsdf_only) if nee else (
                 jnp.ones_like(prev_spec)
             )
             emit = brdf_ops.emittance(hit) * throughput
@@ -492,7 +587,7 @@ def trace_physical_stateless(
             new_throughput = throughput * tmod
 
             if nee:
-                l_dir, inv_pdf, l_idx = sample_light_cone(
+                l_dir, inv_pdf, l_idx = sample_light(
                     scene, hit.point, u[3], u[4], u[5]
                 )
                 cos_i = linalg.dot(l_dir, hit.normal)
@@ -579,3 +674,40 @@ def render_batch_physical(
         )
 
     return jax.lax.fori_loop(0, spp, body, acc)
+
+
+def render_batch_physical_stateless(
+    scene: Scene,
+    camera: Camera,
+    acc: Accumulator,
+    spp: int,
+    num_bounces: int = 8,
+    nee: bool = True,
+    row_offset=0,
+    full_height: int | None = None,
+) -> Accumulator:
+    """`spp` physical/NEE samples through the idiomatic `jax.random`
+    sampler (`trace_physical_stateless`) — the production path selected by
+    `RenderConfig.sampler = "threefry"`.
+
+    The batch key derives from (one accumulator seed word, iteration
+    count), so successive progressive batches draw independent streams
+    while any batch replays from (accumulator seed, iteration) alone; the
+    SFC32 state array rides along untouched (it is the parity sampler's
+    state, not this one's).
+    """
+    import jax.random as jr
+
+    height, width = acc.color.shape[:2]
+    rays = primary_rays(camera, width, height, row_offset, full_height)
+    key = jr.fold_in(
+        jr.PRNGKey(acc.rng.reshape(-1, 4)[0, 0]), acc.iterations
+    )
+    mean = trace_physical_stateless(
+        scene, rays, key, num_bounces=num_bounces, spp=spp, nee=nee
+    )
+    return Accumulator(
+        color=acc.color + mean * spp,
+        rng=acc.rng,
+        iterations=acc.iterations + spp,
+    )

@@ -70,10 +70,15 @@ class Renderer:
                     russian_roulette=config.russian_roulette,
                 )
         elif config.algorithm == "physical":
-            from .nee import render_batch_physical
+            from .nee import (
+                render_batch_physical,
+                render_batch_physical_stateless,
+            )
 
             step = partial(
-                render_batch_physical,
+                render_batch_physical_stateless
+                if config.sampler == "threefry"
+                else render_batch_physical,
                 num_bounces=config.bounces,
                 nee=config.nee,
             )

@@ -29,6 +29,10 @@ class RenderConfig:
     algorithm: str = "inline"
     # Next-event estimation (physical mode only).
     nee: bool = True
+    # Physical-mode sampler: "sfc32" (per-pixel stateful, parity with the
+    # reference's RNG threading) or "threefry" (stateless counter-based
+    # `jax.random` — replay any sample from (seed, iteration) alone).
+    sampler: str = "sfc32"
     # Inline kernel backend: "auto" (Pallas megakernel on TPU, XLA
     # elsewhere), "xla", or "pallas".
     kernel: str = "auto"
@@ -73,6 +77,11 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
         help="disable next-event estimation in physical mode",
     )
     parser.add_argument(
+        "--sampler", choices=["sfc32", "threefry"], default=d.sampler,
+        help="physical-mode RNG: stateful SFC32 (reference parity) or "
+        "stateless threefry (replayable from seed+iteration)",
+    )
+    parser.add_argument(
         "--split", action="store_true", default=False,
         help="wavefront variant: deterministic dielectric ray splitting "
         "(both Fresnel branches traced; removes glass branch-choice "
@@ -102,6 +111,7 @@ def config_from_args(args: argparse.Namespace) -> RenderConfig:
         reseed_interval=args.reseed_interval,
         russian_roulette=args.russian_roulette,
         nee=getattr(args, "nee", True),
+        sampler=getattr(args, "sampler", "sfc32"),
         split=getattr(args, "split", False),
         queue_factor=getattr(args, "queue_factor", 2.0),
         seed=args.seed,

