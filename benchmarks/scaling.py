@@ -27,6 +27,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--force-cpu", type=int, default=0,
                    help="force N virtual CPU devices (testing the harness)")
+    p.add_argument("--distributed", default=None, metavar="I/N@HOST:PORT",
+                   help="join a REAL multi-process run as process I of N "
+                   "via jax.distributed (coordinator HOST:PORT); measures "
+                   "the full global mesh only")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=4)
@@ -44,6 +48,19 @@ def main():
             flags + f" --xla_force_host_platform_device_count={args.force_cpu}"
         ).strip()
 
+    distributed = False
+    if args.distributed:
+        # "I/N@HOST:PORT" — must run before any backend initialization.
+        from haskell_path_tracer_tpu.parallel.multihost import (
+            initialize_distributed,
+        )
+
+        rank, rest = args.distributed.split("/", 1)
+        nproc, coord = rest.split("@", 1)
+        distributed = initialize_distributed(
+            coord, int(nproc), int(rank)
+        )
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -52,6 +69,10 @@ def main():
     from haskell_path_tracer_tpu.diff import grad as G
     from haskell_path_tracer_tpu.ops.rng import gen_seeds
     from haskell_path_tracer_tpu.parallel import mesh as M
+    from haskell_path_tracer_tpu.parallel.multihost import (
+        host_to_global,
+        replicate_tree,
+    )
     from haskell_path_tracer_tpu.parallel.shard import (
         place_accumulator,
         render_sharded,
@@ -60,13 +81,15 @@ def main():
 
     devices = jax.devices()
     virtual = devices[0].platform == "cpu"
-    print(json.dumps({
-        "devices": len(devices), "kind": str(devices[0]),
-        "virtual_mesh": virtual,
-        "note": ("efficiency numbers are meaningless on a virtual CPU mesh "
-                 "(all devices share the host cores); this run validates "
-                 "sharding semantics only") if virtual else "",
-    }), flush=True)
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "devices": len(devices), "kind": str(devices[0]),
+            "processes": jax.process_count(),
+            "virtual_mesh": virtual,
+            "note": ("efficiency numbers are meaningless on a virtual CPU "
+                     "mesh (all devices share the host cores); this run "
+                     "validates sharding semantics only") if virtual else "",
+        }), flush=True)
 
     scene, cam = hpt.main_scene(), hpt.initial_camera()
     w, h = args.width, args.height
@@ -88,22 +111,48 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    sizes = []
-    n = 1
-    while n <= len(devices):
-        sizes.append(n)
-        n *= 2
+    if distributed:
+        # Every process must participate in every computation, so only
+        # the full global mesh is measurable; compare the printed rate
+        # against a separate single-process baseline for efficiency.
+        sizes = [len(devices)]
+    else:
+        sizes = []
+        n = 1
+        while n <= len(devices):
+            sizes.append(n)
+            n *= 2
 
     base = None
     for nd in sizes:
         mesh = M.make_mesh(n_tile=nd, n_sample=1, devices=devices[:nd])
-        acc = place_accumulator(hpt.make_accumulator(w, h, seed=0), mesh)
+        host_acc = hpt.make_accumulator(w, h, seed=0)
+        if distributed:
+            from haskell_path_tracer_tpu.models.objects import Accumulator
+            from haskell_path_tracer_tpu.parallel.mesh import (
+                accumulator_sharding,
+                replicated,
+            )
+
+            acc = Accumulator(
+                color=host_to_global(host_acc.color,
+                                     accumulator_sharding(mesh)),
+                rng=host_to_global(host_acc.rng, accumulator_sharding(mesh)),
+                iterations=host_to_global(host_acc.iterations,
+                                          replicated(mesh)),
+            )
+            scene_m, cam_m = replicate_tree(scene, mesh), replicate_tree(
+                cam, mesh
+            )
+        else:
+            acc = place_accumulator(host_acc, mesh)
+            scene_m, cam_m = scene, cam
         step = jax.jit(
             lambda s, c, a, _mesh=mesh: render_sharded(
                 s, c, a, spp=args.spp, mesh=_mesh, num_bounces=args.bounces
             )
         )
-        dt = timeit(lambda: step(scene, cam, acc))
+        dt = timeit(lambda: step(scene_m, cam_m, acc))
         rays = w * h * args.spp * args.bounces
         rate = rays / dt
         if base is None:
@@ -122,13 +171,29 @@ def main():
             mesh = M.make_mesh(n_tile=nd, n_sample=1, devices=devices[:nd])
             rng = gen_seeds((h, w), seed=1)
             target = jnp.zeros((h, w, 3), jnp.float32)
+            if distributed:
+                from haskell_path_tracer_tpu.parallel.mesh import (
+                    accumulator_sharding,
+                )
+
+                sh = accumulator_sharding(mesh)
+                rng = host_to_global(rng, sh)
+                target = host_to_global(np.asarray(target), sh)
+                params = replicate_tree(params, mesh)
+                scene_t, cam_t = replicate_tree(scene, mesh), replicate_tree(
+                    cam, mesh
+                )
+            else:
+                scene_t, cam_t = scene, cam
             train = jax.jit(
-                lambda p, t, _mesh=mesh, _rng=rng: train_step_sharded(
-                    p, scene, cam, t, _rng, _mesh,
+                lambda p, sc, cm, t, r, _mesh=mesh: train_step_sharded(
+                    p, sc, cm, t, r, _mesh,
                     num_bounces=min(args.bounces, 4), lr=1e-3,
                 )
             )
-            dt = timeit(lambda: train(params, target), n=3)
+            dt = timeit(
+                lambda: train(params, scene_t, cam_t, target, rng), n=3
+            )
             rate = w * h * min(args.bounces, 4) * 3 / dt  # fwd+bwd segments
             if base is None:
                 base = rate

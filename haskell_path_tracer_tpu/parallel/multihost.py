@@ -43,7 +43,11 @@ def initialize_distributed(
 
 def local_row_block(full_height: int, n_tile: int):
     """This process's row range under tile sharding — used by the host
-    driver to assemble/checkpoint only addressable shards."""
+    driver to assemble/checkpoint only addressable shards.
+
+    The contiguous-device-order assumption (process p owns rows
+    [p*local, (p+1)*local)) is asserted against the actual addressable
+    shard indices by tests/multihost_worker.py."""
     idx = jax.process_index()
     per = full_height // n_tile
     # Each process addresses its local devices' tiles; with contiguous
@@ -51,3 +55,25 @@ def local_row_block(full_height: int, n_tile: int):
     local_tiles = jax.local_device_count()
     start = idx * local_tiles * per
     return start, start + local_tiles * per
+
+
+def host_to_global(x, sharding):
+    """Host value -> global `jax.Array` under `sharding`.
+
+    Works in multi-process mode where `jax.device_put` cannot address
+    remote shards: every process supplies its own addressable shards via
+    `make_array_from_callback`.  Host data must be identical on all
+    processes (deterministic seeding guarantees this for accumulators)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def replicate_tree(tree, mesh):
+    """Replicate every leaf of a pytree across `mesh` as global arrays
+    (multi-process-safe `jax.device_put(tree, P())`)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: host_to_global(x, rep), tree)

@@ -29,8 +29,10 @@ def main() -> None:
 
     # Must run before any backend initialization.
     from haskell_path_tracer_tpu.parallel.multihost import (
+        host_to_global,
         initialize_distributed,
         local_row_block,
+        replicate_tree,
     )
 
     assert initialize_distributed(coord, nproc, pid)
@@ -59,16 +61,9 @@ def main() -> None:
     sh = M.accumulator_sharding(mesh)
     rep = M.replicated(mesh)
 
-    def glob(x, s):
-        """Host value -> global jax.Array with sharding `s` (every process
-        provides its addressable shards; host data is identical on all
-        processes because seeding is deterministic)."""
-        x = np.asarray(x)
-        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
-
-    rep_tree = lambda t: jax.tree_util.tree_map(lambda x: glob(x, rep), t)
-
-    scene_g, cam_g = rep_tree(scene), rep_tree(cam)
+    glob = host_to_global
+    scene_g = replicate_tree(scene, mesh)
+    cam_g = replicate_tree(cam, mesh)
 
     # --- sharded progressive render across processes ---------------------
     host_acc = make_accumulator(W, H, seed=4)
@@ -100,7 +95,7 @@ def main() -> None:
     rng_block = collect(out.rng, W, 4, np.uint32)
 
     # --- sharded inverse-rendering step (grad psum over DCN-like boundary)
-    params = rep_tree(G.scene_to_params(scene))
+    params = replicate_tree(G.scene_to_params(scene), mesh)
     rng = gen_seeds((H, W), seed=9)
     target = np.asarray(G.render_radiance(scene, cam, rng, W, H, 3)) * 0.5
     new_params, loss = train_step_sharded(
