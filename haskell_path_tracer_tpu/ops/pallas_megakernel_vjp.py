@@ -69,15 +69,16 @@ def _bwd_kernel(
     dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref,
     st,
     *, spp, num_bounces, num_spheres, num_prims, has_dielectric,
+    num_boxes=0, num_triangles=0, gcols=8,
 ):
     geom = geom_ref[:, :]
     mat = mat_ref[:, :]
-    rows_g = _table_rows(geom, num_prims)
+    rows_g = _table_rows(geom, num_prims, num_cols=gcols)
     rows_m = _table_rows(mat, num_prims)
     flat = tuple(x for row in rows_g for x in row) + tuple(
         x for row in rows_m for x in row
     )
-    ncols = num_prims * 8
+    ncols = num_prims * gcols
 
     pox, poy, poz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
     pdx, pdy, pdz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
@@ -93,7 +94,10 @@ def _bwd_kernel(
         a constant by the caller.  Returns the 12 float outputs (next
         origin/direction/throughput + emission); the dead mask (bool) is
         dropped — booleans carry no cotangent."""
-        rg = [list(flat_s[p * 8 : (p + 1) * 8]) for p in range(num_prims)]
+        rg = [
+            list(flat_s[p * gcols : (p + 1) * gcols])
+            for p in range(num_prims)
+        ]
         rm = [
             list(flat_s[ncols + p * 8 : ncols + (p + 1) * 8])
             for p in range(num_prims)
@@ -101,6 +105,7 @@ def _bwd_kernel(
         out = _bounce_core(
             rg, rm, num_spheres, num_prims, has_dielectric,
             ox, oy, oz, dxx, dyy, dzz, thr, thg, thb, vx, vy, vz,
+            num_boxes=num_boxes, num_triangles=num_triangles,
         )
         return out[:12]
 
@@ -122,6 +127,7 @@ def _bwd_kernel(
              _, _, _, dead) = _bounce_core(
                 rows_g, rows_m, num_spheres, num_prims, has_dielectric,
                 ox, oy, oz, dxx, dyy, dzz, thr, thg, thb, vx, vy, vz,
+                num_boxes=num_boxes, num_triangles=num_triangles,
             )
             # Dead lanes never advance their generator (Trace.hs:364-365).
             ra = jnp.where(dead, ra, ra2)
@@ -165,7 +171,9 @@ def _bwd_kernel(
             addx + c_d[0], addy + c_d[1], addz + c_d[2],
         )
 
-    d_flat0 = tuple(jnp.zeros((), jnp.float32) for _ in range(ncols * 2))
+    d_flat0 = tuple(
+        jnp.zeros((), jnp.float32) for _ in range(ncols + num_prims * 8)
+    )
     carry0 = (
         ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :],
         d_flat0, zeros, zeros, zeros, zeros, zeros, zeros,
@@ -185,22 +193,25 @@ def _bwd_kernel(
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
         for p in range(num_prims):
-            for i in range(8):
+            for i in range(gcols):
                 dgeom_ref[p, i] = 0.0
+            for i in range(8):
                 dmat_ref[p, i] = 0.0
 
     for p in range(num_prims):
+        for i in range(gcols):
+            dgeom_ref[p, i] = dgeom_ref[p, i] + d_flat[p * gcols + i]
         for i in range(8):
-            dgeom_ref[p, i] = dgeom_ref[p, i] + d_flat[p * 8 + i]
             dmat_ref[p, i] = dmat_ref[p, i] + d_flat[ncols + p * 8 + i]
 
 
 def _bwd_call(
     geom, mat, ray_o, ray_d, rng_state, g_rad,
     *, spp, num_bounces, num_spheres, tile_rows, has_dielectric, interpret,
+    num_boxes=0, num_triangles=0,
 ):
     H, W = rng_state.shape[:2]
-    num_prims = geom.shape[0]
+    num_prims, gcols = geom.shape
     tile_rows = min(tile_rows, H)
     while H % tile_rows:
         tile_rows //= 2
@@ -222,10 +233,16 @@ def _bwd_call(
     tile_spec = pl.BlockSpec(
         (tile_rows, tile_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
-    table_spec = pl.BlockSpec(
+    geom_spec = pl.BlockSpec(
+        (num_prims, gcols), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    mat_spec = pl.BlockSpec(
         (num_prims, 8), lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
-    smem_table = pl.BlockSpec(
+    smem_geom = pl.BlockSpec(
+        (num_prims, gcols), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+    )
+    smem_mat = pl.BlockSpec(
         (num_prims, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM
     )
 
@@ -236,14 +253,18 @@ def _bwd_call(
         num_spheres=num_spheres,
         num_prims=num_prims,
         has_dielectric=has_dielectric,
+        num_boxes=num_boxes,
+        num_triangles=num_triangles,
+        gcols=gcols,
     )
     out = pl.pallas_call(
         kernel,
         grid=(H // tile_rows, W // tile_cols),
-        in_specs=[table_spec, table_spec] + [tile_spec] * 13,
-        out_specs=[smem_table, smem_table] + [tile_spec] * 6,
+        in_specs=[geom_spec, mat_spec] + [tile_spec] * 13,
+        out_specs=[smem_geom, smem_mat] + [tile_spec] * 6,
         out_shape=(
-            [jax.ShapeDtypeStruct((num_prims, 8), jnp.float32)] * 2
+            [jax.ShapeDtypeStruct((num_prims, gcols), jnp.float32)]
+            + [jax.ShapeDtypeStruct((num_prims, 8), jnp.float32)]
             + [jax.ShapeDtypeStruct((H, W), jnp.float32)] * 6
         ),
         scratch_shapes=[
@@ -263,7 +284,7 @@ def _bwd_call(
 @functools.lru_cache(maxsize=64)
 def _make_diff_fn(
     spp, num_bounces, num_spheres, tile_rows, bwd_tile_rows, has_dielectric,
-    interpret,
+    interpret, num_boxes=0, num_triangles=0,
 ):
     """Build (and cache) the custom-VJP trace for one static config."""
 
@@ -272,8 +293,6 @@ def _make_diff_fn(
         return _fwd_only(geom, mat, ray_o, ray_d, rng_state)
 
     def _fwd_only(geom, mat, ray_o, ray_d, rng_state):
-        from ..models.objects import Rays
-
         # Reuse the production forward kernel through its scene-level entry
         # by faking a minimal table-compatible scene is MORE code than
         # calling the pallas_call again; instead go through the public
@@ -283,6 +302,7 @@ def _make_diff_fn(
             spp=spp, num_bounces=num_bounces, num_spheres=num_spheres,
             tile_rows=tile_rows, has_dielectric=has_dielectric,
             interpret=interpret,
+            num_boxes=num_boxes, num_triangles=num_triangles,
         )
 
     def fwd(geom, mat, ray_o, ray_d, rng_state):
@@ -297,6 +317,7 @@ def _make_diff_fn(
             spp=spp, num_bounces=num_bounces, num_spheres=num_spheres,
             tile_rows=bwd_tile_rows, has_dielectric=has_dielectric,
             interpret=interpret,
+            num_boxes=num_boxes, num_triangles=num_triangles,
         )
         d_rng = np.zeros(rng_state.shape, jax.dtypes.float0)
         return d_geom, d_mat, d_ray_o, d_ray_d, d_rng
@@ -308,13 +329,14 @@ def _make_diff_fn(
 def _fwd_tables(
     geom, mat, ray_o, ray_d, rng_state,
     *, spp, num_bounces, num_spheres, tile_rows, has_dielectric, interpret,
+    num_boxes=0, num_triangles=0,
 ):
     """The forward megakernel at the (geom, mat) table level — the same
     pallas_call `trace_inline_pallas` makes after `_scene_tables`."""
     from .pallas_megakernel import _megakernel_body
 
     H, W = rng_state.shape[:2]
-    num_prims = geom.shape[0]
+    num_prims, gcols = geom.shape
     tile_rows = min(tile_rows, H)
     while H % tile_rows:
         tile_rows //= 2
@@ -327,7 +349,10 @@ def _fwd_tables(
     row_spec = pl.BlockSpec(
         (tile_rows, W), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    table_spec = pl.BlockSpec(
+    geom_spec = pl.BlockSpec(
+        (num_prims, gcols), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    mat_spec = pl.BlockSpec(
         (num_prims, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
@@ -339,11 +364,13 @@ def _fwd_tables(
         russian_roulette=False,
         rr_start=3,
         has_dielectric=has_dielectric,
+        num_boxes=num_boxes,
+        num_triangles=num_triangles,
     )
     out = pl.pallas_call(
         kernel,
         grid=(H // tile_rows,),
-        in_specs=[table_spec, table_spec] + [row_spec] * 10,
+        in_specs=[geom_spec, mat_spec] + [row_spec] * 10,
         out_specs=[row_spec] * 7,
         out_shape=(
             [jax.ShapeDtypeStruct((H, W), jnp.float32)] * 3
@@ -369,15 +396,12 @@ def trace_inline_pallas_diff(
 ):
     """Differentiable fused trace: (radiance_sum [H,W,3], rng_out [H,W,4]),
     with gradients w.r.t. every differentiable Scene leaf (via the
-    `_scene_tables` packing) and the primary rays.
+    `_scene_tables` packing — incl. box corners and triangle vertices,
+    whose table rows are differentiable functions of the vertices) and
+    the primary rays.
 
-    Spheres+planes scenes only (the forward megakernel's domain); the
-    RNG state is a detached constant of the gradient, exactly as in
+    The RNG state is a detached constant of the gradient, exactly as in
     diff/grad.py."""
-    if scene.boxes.count or scene.triangles.count:
-        raise NotImplementedError(
-            "the differentiable Pallas megakernel folds over spheres+planes"
-        )
     if has_dielectric is None:
         has_dielectric = True
     if bwd_tile_rows is None:
@@ -390,5 +414,6 @@ def trace_inline_pallas_diff(
     f = _make_diff_fn(
         spp, num_bounces, scene.spheres.count, tile_rows, bwd_tile_rows,
         bool(has_dielectric), interpret,
+        num_boxes=scene.boxes.count, num_triangles=scene.triangles.count,
     )
     return f(geom, mat, rays.origin, rays.direction, rng_state)

@@ -195,15 +195,91 @@ def test_emission_grad_matches_finite_differences():
     np.testing.assert_allclose(float(fd), float(np.asarray(g)[i]), rtol=2e-3)
 
 
-def test_rejects_extended_primitives():
-    from haskell_path_tracer_tpu.models.objects import make_boxes
-
-    scene, rays, rng, _ = _setup()
-    boxes = make_boxes(
-        [[-1.0, -1.0, -1.0]],
-        [[1.0, 1.0, 1.0]],
-        make_materials([([0.8, 0.2, 0.2], 0.0, BRDF_MATTE, 1.0)]),
+def _mixed_scene():
+    """The sphere+plane fixture extended with a box and an emissive
+    triangle, both camera-visible under the pitched-down camera."""
+    from haskell_path_tracer_tpu.models.objects import (
+        make_boxes,
+        make_triangles,
     )
-    sc = dataclasses.replace(scene, boxes=boxes)
-    with pytest.raises(NotImplementedError):
-        trace_inline_pallas_diff(sc, rays, rng, num_bounces=B, interpret=True)
+
+    scene = _small_scene()
+    boxes = make_boxes(
+        [[-3.0, -3.0, -5.5]],
+        [[-1.2, -1.0, -3.5]],
+        make_materials([([0.7, 0.6, 0.2], 0.3, BRDF_MATTE, 1.0)]),
+    )
+    tris = make_triangles(
+        [[0.5, -2.9, -2.0]],
+        [[3.5, -2.9, -2.5]],
+        [[2.0, -1.0, -4.5]],
+        make_materials([([0.3, 0.8, 0.8], 1.5, BRDF_MATTE, 1.0)]),
+    )
+    return dataclasses.replace(scene, boxes=boxes, triangles=tris)
+
+
+def test_mixed_kind_forward_bit_equals_production_kernel():
+    scene = _mixed_scene()
+    _, rays, rng, _ = _setup()
+    rad_d, rng_d = trace_inline_pallas_diff(
+        scene, rays, rng, num_bounces=B, spp=2, interpret=True
+    )
+    rad_f, rng_f = trace_inline_pallas(
+        scene, rays, rng, num_bounces=B, spp=2, interpret=True
+    )
+    assert (np.asarray(rad_d) == np.asarray(rad_f)).all()
+    assert (np.asarray(rng_d) == np.asarray(rng_f)).all()
+
+
+def test_box_and_triangle_grads_match_xla():
+    """Gradients w.r.t. box corners and triangle vertices flow through
+    the 16-column table packing (VERDICT r1 item #5, gradient side)."""
+    scene = _mixed_scene()
+    _, rays, rng, wts = _setup()
+    leaves = (
+        scene.boxes.lo,
+        scene.boxes.hi,
+        scene.triangles.v0,
+        scene.triangles.v1,
+        scene.triangles.v2,
+        scene.triangles.material.illuminance,
+    )
+    names = ("box_lo", "box_hi", "tri_v0", "tri_v1", "tri_v2", "tri_illum")
+
+    def rebuild(lo, hi, v0, v1, v2, t_il):
+        bx = dataclasses.replace(scene.boxes, lo=lo, hi=hi)
+        tr = dataclasses.replace(
+            scene.triangles,
+            v0=v0,
+            v1=v1,
+            v2=v2,
+            material=dataclasses.replace(
+                scene.triangles.material, illuminance=t_il
+            ),
+        )
+        return dataclasses.replace(scene, boxes=bx, triangles=tr)
+
+    def loss_xla(args):
+        rad, _ = trace_inline(
+            rebuild(*args), rays, rng, B, differentiable=True
+        )
+        return jnp.sum(rad * wts)
+
+    def loss_pl(args):
+        rad, _ = trace_inline_pallas_diff(
+            rebuild(*args), rays, rng, num_bounces=B, spp=1, interpret=True
+        )
+        return jnp.sum(rad * wts)
+
+    gx = jax.grad(loss_xla)(leaves)
+    gp = jax.grad(loss_pl)(leaves)
+    for name, ga, gb in zip(names, gx, gp):
+        if not name.startswith("box"):
+            # Triangles carry first-order signal (normal and t are smooth
+            # functions of the vertices).  Box FACE normals are
+            # sign()-piecewise-constant in BOTH paths, so box corners get
+            # only indirect (often zero) gradient at this tiny resolution
+            # — equality below is still the contract.
+            assert np.abs(np.asarray(ga)).max() > 0, name
+        err = _norm_err(ga, gb)
+        assert err < 2e-2, (name, err)
