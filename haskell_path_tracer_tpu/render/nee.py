@@ -84,33 +84,60 @@ def sample_cosine_hemisphere(normal, u1, u2):
     )
 
 
-def _physical_bounce(hit, ray_d, u1, u2, u3):
+def _present_kinds(scene: Scene):
+    """The set of BRDF kinds present in the scene, as a static host fact —
+    or None when material arrays are traced (compute every branch).  Same
+    pattern as the megakernel's `has_dielectric` auto-detect: a concrete
+    scene lets XLA elide the absent branches' op chains entirely (the
+    dielectric block alone is ~50 VPU ops/lane), and the elision draws no
+    RNG so it never changes results."""
+    kind_arrays = [
+        part.material.brdf_kind
+        for part in (scene.spheres, scene.planes, scene.boxes,
+                     scene.triangles)
+        if part.count
+    ]
+    if any(isinstance(k, jax.core.Tracer) for k in kind_arrays):
+        return None
+    present = set()
+    for k in kind_arrays:
+        present.update(np.unique(np.asarray(k)).tolist())
+    return frozenset(present)
+
+
+def _physical_bounce(hit, ray_d, u1, u2, u3, kinds=None):
     """Shared direction selection for the physical BRDFs given three
     uniforms in [0, 1).  Returns (origin, direction, tmod, is_specular).
 
     Lambert: (albedo/pi) * cos / (cos/pi) = albedo.  Mirror/glass: albedo
     (delta lobes; the Fresnel branch choice is importance-sampled by u3).
+    `kinds` (static) elides absent-material branches; None computes all.
     """
-    matte_dir = sample_cosine_hemisphere(hit.normal, u1, u2)
-    glossy_dir = linalg.reflect(ray_d, hit.normal)
-    refl, refr, f_refl = brdf_ops.dielectric_split(
-        ray_d, hit.normal, hit.brdf_param
-    )
-    diel_dir = jnp.where((u3 < f_refl)[..., None], refl, refr)
+    has_glossy = kinds is None or BRDF_GLOSSY in kinds
+    has_diel = kinds is None or BRDF_DIELECTRIC in kinds
 
+    direction = sample_cosine_hemisphere(hit.normal, u1, u2)
     is_glossy = hit.brdf_kind == BRDF_GLOSSY
     is_diel = hit.brdf_kind == BRDF_DIELECTRIC
-    direction = jnp.where(
-        is_diel[..., None],
-        diel_dir,
-        jnp.where(is_glossy[..., None], glossy_dir, matte_dir),
-    )
-    is_specular = is_glossy | is_diel
+    if has_glossy:
+        glossy_dir = linalg.reflect(ray_d, hit.normal)
+        direction = jnp.where(is_glossy[..., None], glossy_dir, direction)
+    if has_diel:
+        refl, refr, f_refl = brdf_ops.dielectric_split(
+            ray_d, hit.normal, hit.brdf_param
+        )
+        diel_dir = jnp.where((u3 < f_refl)[..., None], refl, refr)
+        direction = jnp.where(is_diel[..., None], diel_dir, direction)
+
+    if has_glossy or has_diel:
+        is_specular = is_glossy | is_diel
+    else:
+        is_specular = jnp.zeros(hit.brdf_kind.shape, bool)
     origin = hit.point + direction * EPSILON
     return origin, direction, hit.color, is_specular
 
 
-def sample_physical(hit, ray_d, rng_state):
+def sample_physical(hit, ray_d, rng_state, kinds=None):
     """Physically-based bounce sampling (three SFC32 draws per lane).
 
     Returns (origin, direction, throughput_mod, is_specular, new_state).
@@ -122,6 +149,7 @@ def sample_physical(hit, ray_d, rng_state):
         (u[..., 0] + 1.0) * 0.5,
         (u[..., 1] + 1.0) * 0.5,
         (u[..., 2] + 1.0) * 0.5,
+        kinds=kinds,
     )
     return origin, direction, tmod, is_specular, rng
 
@@ -309,6 +337,7 @@ def _trace_physical_fused(
     shape = rays.origin.shape[:-1]
     pos, radius = scene.spheres.pos, scene.spheres.radius
     mat = scene.spheres.material
+    kinds = _present_kinds(scene)
 
     def dual(point, d_bsdf, l_dir, t_light, l_idx, alive):
         t, prim, occ = PI.sphere_dual_query(
@@ -355,7 +384,9 @@ def _trace_physical_fused(
         emit = brdf_ops.emittance(hit) * throughput
         new_result = result + jnp.where(take_emit[..., None], emit, 0.0)
 
-        _, next_d, tmod, is_spec, rng2 = sample_physical(hit, ray_d, rng)
+        _, next_d, tmod, is_spec, rng2 = sample_physical(
+            hit, ray_d, rng, kinds=kinds
+        )
 
         un, rng2 = rng_ops.gen_vec(rng2)
         us = (un + 1.0) * 0.5
@@ -462,6 +493,7 @@ def trace_physical(
     # counts only off specular chains.
     bsdf_only_lo = n_spheres
     bsdf_only_hi = n_spheres + scene.planes.count + scene.boxes.count
+    kinds = _present_kinds(scene)
 
     def body(_, state):
         ray_o, ray_d, rng, result, throughput, prev_spec = state
@@ -479,7 +511,7 @@ def trace_physical(
         new_result = result + jnp.where(take_emit[..., None], emit, 0.0)
 
         next_o, next_d, tmod, is_spec, rng2 = sample_physical(
-            hit, ray_d, rng
+            hit, ray_d, rng, kinds=kinds
         )
 
         if nee:
@@ -559,6 +591,7 @@ def trace_physical_stateless(
     # BSDF-only emitters; spheres/triangles are light-sampled.
     bsdf_only_lo = n_spheres
     bsdf_only_hi = n_spheres + scene.planes.count + scene.boxes.count
+    kinds = _present_kinds(scene)
     shape = rays.origin.shape[:-1]
 
     def uniforms(sample_key, bounce, n):
@@ -582,7 +615,7 @@ def trace_physical_stateless(
 
             u = uniforms(sample_key, i, 6)
             next_o, direction, tmod, is_spec = _physical_bounce(
-                hit, ray_d, u[0], u[1], u[2]
+                hit, ray_d, u[0], u[1], u[2], kinds=kinds
             )
             new_throughput = throughput * tmod
 
