@@ -256,9 +256,14 @@ def config4():
     scene = big_scene(1000)
     cam = Camera.create([0.0, 2.0, 0.0], [0.2, 0.0, 0.0], 90.0)
     acc = hpt.make_accumulator(w, h, seed=0)
+    # Static BRDF-kind set computed on the concrete scene OUTSIDE jit so
+    # the all-matte elision applies inside the traced step.
+    from haskell_path_tracer_tpu.render.nee import _present_kinds
+
+    kinds = _present_kinds(scene)
     step = jax.jit(
         lambda s, c, a: hpt.render_batch_physical(
-            s, c, a, spp=spp, num_bounces=b, nee=True
+            s, c, a, spp=spp, num_bounces=b, nee=True, kinds=kinds
         )
     )
     dt = _timeit(lambda: step(scene, cam, acc), n=1)

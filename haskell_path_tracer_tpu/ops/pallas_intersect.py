@@ -314,14 +314,18 @@ def _run_dual_kernel(
     )
 
 
-DEFAULT_DUAL_UNROLL = 4
+# Measured on v5e at 2M rays x 1k spheres: unroll=8/block_rows=32 =
+# 91.6 Mq/s vs 79.2 at the old (4, 64) default (smaller blocks keep the
+# f32 working set resident; wider unroll hides SMEM scalar-load latency).
+DEFAULT_DUAL_UNROLL = 8
+DEFAULT_DUAL_BLOCK_ROWS = 32
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def sphere_dual_query(
     ray_o, d_bsdf, d_shadow, t_light, light_idx, alive, pos, radius,
     eps=float(EPSILON),
-    block_rows: int = DEFAULT_BLOCK_ROWS,
+    block_rows: int = DEFAULT_DUAL_BLOCK_ROWS,
     unroll: int = DEFAULT_DUAL_UNROLL,
     interpret: bool = False,
 ):

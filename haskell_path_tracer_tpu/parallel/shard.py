@@ -68,6 +68,12 @@ def render_sharded(
     n_tile = mesh.shape[TILE_AXIS]
     assert full_height % n_tile == 0, (full_height, n_tile)
     block_h = full_height // n_tile
+    if algorithm == "physical":
+        # Static kind set from the (usually concrete) scene before
+        # shard_map traces it — enables branch elision on every shard.
+        from ..render.nee import _present_kinds
+
+        kinds = _present_kinds(scene)
 
     def local_step(scene, camera, acc_block):
         row0 = jax.lax.axis_index(TILE_AXIS) * block_h
@@ -83,6 +89,7 @@ def render_sharded(
                 nee=nee,
                 row_offset=row0,
                 full_height=full_height,
+                kinds=kinds,
             )
         return integrator.render_batch_inline(
             scene,

@@ -317,6 +317,7 @@ def _trace_physical_fused(
     rng_state: jnp.ndarray,
     num_bounces: int = 8,
     interpret: bool = False,
+    kinds=None,
 ):
     """NEE trace with the fused dual-query Pallas kernel: ONE pass over
     the sphere table per bounce answers both the next-BSDF-ray nearest
@@ -337,7 +338,8 @@ def _trace_physical_fused(
     shape = rays.origin.shape[:-1]
     pos, radius = scene.spheres.pos, scene.spheres.radius
     mat = scene.spheres.material
-    kinds = _present_kinds(scene)
+    if kinds is None:
+        kinds = _present_kinds(scene)
 
     def dual(point, d_bsdf, l_dir, t_light, l_idx, alive):
         t, prim, occ = PI.sphere_dual_query(
@@ -469,6 +471,7 @@ def trace_physical(
     num_bounces: int = 8,
     nee: bool = True,
     fused: bool | None = None,
+    kinds=None,
 ):
     """Physically-based path trace; returns (radiance, new rng).
 
@@ -481,11 +484,15 @@ def trace_physical(
     dual-query Pallas bounce loop (`_trace_physical_fused` — one sphere
     fold per bounce instead of two); True/False forces the choice.
     """
+    if kinds is None:
+        kinds = _present_kinds(scene)
     if fused is None:
         fused = nee and _fused_eligible(scene)
     if fused:
         assert nee, "the fused path is the NEE estimator"
-        return _trace_physical_fused(scene, rays, rng_state, num_bounces)
+        return _trace_physical_fused(
+            scene, rays, rng_state, num_bounces, kinds=kinds
+        )
     n_spheres = scene.spheres.count
     # Primitives NEE can never sample as lights: planes (infinite extent)
     # and boxes.  Their emission always arrives via BSDF pickup; spheres
@@ -493,7 +500,6 @@ def trace_physical(
     # counts only off specular chains.
     bsdf_only_lo = n_spheres
     bsdf_only_hi = n_spheres + scene.planes.count + scene.boxes.count
-    kinds = _present_kinds(scene)
 
     def body(_, state):
         ray_o, ray_d, rng, result, throughput, prev_spec = state
@@ -574,6 +580,7 @@ def trace_physical_stateless(
     num_bounces: int = 8,
     spp: int = 1,
     nee: bool = True,
+    kinds=None,
 ):
     """Physical trace with the idiomatic `jax.random` path: stateless
     counter-based threefry instead of per-pixel SFC32 state.
@@ -591,7 +598,8 @@ def trace_physical_stateless(
     # BSDF-only emitters; spheres/triangles are light-sampled.
     bsdf_only_lo = n_spheres
     bsdf_only_hi = n_spheres + scene.planes.count + scene.boxes.count
-    kinds = _present_kinds(scene)
+    if kinds is None:
+        kinds = _present_kinds(scene)
     shape = rays.origin.shape[:-1]
 
     def uniforms(sample_key, bounce, n):
@@ -674,13 +682,17 @@ def render_sample_physical(
     nee: bool = True,
     row_offset=0,
     full_height: int | None = None,
+    kinds=None,
 ) -> Accumulator:
     """One progressive sample of the physical integrator into the
-    accumulator (same contract as `render_sample_inline`)."""
+    accumulator (same contract as `render_sample_inline`).  `kinds` is
+    the static BRDF-kind set for branch elision — pass it from OUTSIDE
+    jit (e.g. `_present_kinds(scene)` on the concrete scene); under
+    tracing the auto-detect sees only tracers and computes everything."""
     height, width = acc.color.shape[:2]
     rays = primary_rays(camera, width, height, row_offset, full_height)
     radiance, rng_out = trace_physical(
-        scene, rays, acc.rng, num_bounces, nee=nee
+        scene, rays, acc.rng, num_bounces, nee=nee, kinds=kinds
     )
     return Accumulator(
         color=acc.color + radiance,
@@ -698,12 +710,14 @@ def render_batch_physical(
     nee: bool = True,
     row_offset=0,
     full_height: int | None = None,
+    kinds=None,
 ) -> Accumulator:
     """`spp` physical/NEE samples in one on-device dispatch."""
 
     def body(_, a):
         return render_sample_physical(
-            scene, camera, a, num_bounces, nee, row_offset, full_height
+            scene, camera, a, num_bounces, nee, row_offset, full_height,
+            kinds=kinds,
         )
 
     return jax.lax.fori_loop(0, spp, body, acc)
@@ -718,6 +732,7 @@ def render_batch_physical_stateless(
     nee: bool = True,
     row_offset=0,
     full_height: int | None = None,
+    kinds=None,
 ) -> Accumulator:
     """`spp` physical/NEE samples through the idiomatic `jax.random`
     sampler (`trace_physical_stateless`) — the production path selected by
@@ -737,7 +752,8 @@ def render_batch_physical_stateless(
         jr.PRNGKey(acc.rng.reshape(-1, 4)[0, 0]), acc.iterations
     )
     mean = trace_physical_stateless(
-        scene, rays, key, num_bounces=num_bounces, spp=spp, nee=nee
+        scene, rays, key, num_bounces=num_bounces, spp=spp, nee=nee,
+        kinds=kinds,
     )
     return Accumulator(
         color=acc.color + mean * spp,

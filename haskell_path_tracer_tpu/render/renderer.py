@@ -42,6 +42,7 @@ class Renderer:
     def __init__(self, config: RenderConfig):
         self.config = config
         self._takes_dielectric_flag = False
+        self._takes_kinds_flag = False
         if config.algorithm == "inline":
             step_fn = {
                 "auto": integrator.render_batch_auto,
@@ -82,6 +83,10 @@ class Renderer:
                 num_bounces=config.bounces,
                 nee=config.nee,
             )
+            # BRDF-kind elision needs the concrete (host-side) scene;
+            # inside jit the materials are tracers, so the static kind
+            # set rides in as a hashable static argument.
+            self._takes_kinds_flag = True
         else:
             raise ValueError(f"unknown algorithm {config.algorithm!r}")
         # spp must be static (it is a fori_loop bound); donate the
@@ -92,6 +97,14 @@ class Renderer:
                     scene, camera, acc, spp, has_dielectric=has_dielectric
                 ),
                 static_argnames=("spp", "has_dielectric"),
+                donate_argnames=("acc",),
+            )
+        elif self._takes_kinds_flag:
+            self._step = jax.jit(
+                lambda scene, camera, acc, spp, kinds: step(
+                    scene, camera, acc, spp, kinds=kinds
+                ),
+                static_argnames=("spp", "kinds"),
                 donate_argnames=("acc",),
             )
         else:
@@ -114,6 +127,10 @@ class Renderer:
             return self._step(
                 scene, camera, acc, spp, self._scene_has_dielectric(scene)
             )
+        if self._takes_kinds_flag:
+            from .nee import _present_kinds
+
+            return self._step(scene, camera, acc, spp, _present_kinds(scene))
         return self._step(scene, camera, acc, spp)
 
     @staticmethod
