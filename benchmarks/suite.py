@@ -235,14 +235,13 @@ def config3():
     cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
     acc = hpt.make_accumulator(w, h, seed=0)
 
-    def run(s, c, a):
-        def body(_, a):
-            return hpt.render_sample_wavefront_split(
-                s, c, a, num_bounces=b, queue_factor=2.0
-            )
-        return jax.lax.fori_loop(0, spp, body, a)
-
-    step = jax.jit(run)
+    # Fused Pallas DFS kernel on TPU (ops/pallas_split.py), XLA
+    # traversal elsewhere — same estimator.
+    step = jax.jit(
+        lambda s, c, a: hpt.render_batch_split_auto(
+            s, c, a, spp=spp, num_bounces=b, queue_factor=2.0
+        )
+    )
     dt = _timeit(lambda: step(scene, cam, acc), n=2)
     _report(3, "glass_split_512x512x64sppx8b_wavefront", w * h * spp * b, dt)
 

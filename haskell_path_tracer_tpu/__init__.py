@@ -45,6 +45,7 @@ from .render.integrator import (
 from .render.wavefront import (
     WavefrontStats,
     depth_histogram,
+    render_batch_split_auto,
     render_batch_wavefront,
     render_batch_wavefront_split,
     render_sample_wavefront,

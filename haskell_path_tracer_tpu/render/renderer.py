@@ -57,10 +57,10 @@ class Renderer:
             self._takes_dielectric_flag = config.kernel in ("auto", "pallas")
         elif config.algorithm == "wavefront":
             if config.split:
-                from .wavefront import render_batch_wavefront_split
+                from .wavefront import render_batch_split_auto
 
                 step = partial(
-                    render_batch_wavefront_split,
+                    render_batch_split_auto,
                     num_bounces=config.bounces,
                     queue_factor=config.queue_factor,
                 )

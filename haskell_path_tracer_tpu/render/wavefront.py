@@ -515,3 +515,44 @@ def render_batch_wavefront_split(
         )
 
     return jax.lax.fori_loop(0, spp, body, acc)
+
+
+def render_batch_split_auto(
+    scene: Scene,
+    camera: Camera,
+    acc: Accumulator,
+    spp: int,
+    num_bounces: int = 15,
+    queue_factor: float = 2.0,
+    interpret: bool = False,
+):
+    """Fastest available deterministic-splitting backend: the fused
+    Pallas DFS kernel on TPU with lane-aligned widths
+    (ops/pallas_split.py — whole traversal state in VMEM), the XLA
+    traversal otherwise.  Same estimator either way
+    (tests/test_pallas_split.py)."""
+    from ..models.camera import primary_rays
+    from .integrator import pallas_supported
+
+    if interpret or pallas_supported(acc.color.shape[1]):
+        from ..ops.pallas_split import trace_split_pallas
+
+        height, width = acc.color.shape[:2]
+        rays = primary_rays(camera, width, height)
+        radiance, rng_out = trace_split_pallas(
+            scene,
+            rays,
+            acc.rng,
+            num_bounces=num_bounces,
+            spp=spp,
+            stack_depth=max(1, int(round(queue_factor))),
+            interpret=interpret,
+        )
+        return Accumulator(
+            color=acc.color + radiance,
+            rng=rng_out,
+            iterations=acc.iterations + spp,
+        )
+    return render_batch_wavefront_split(
+        scene, camera, acc, spp, num_bounces, queue_factor
+    )
