@@ -317,7 +317,15 @@ def main():
     which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
     for n in which:
-        globals()[f"config{n}"]()
+        try:
+            globals()[f"config{n}"]()
+        except Exception as e:  # one config's failure must not sink the run
+            print(
+                json.dumps(
+                    {"config": n, "error": f"{type(e).__name__}: {e}"[:400]}
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

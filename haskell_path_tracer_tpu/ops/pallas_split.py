@@ -39,7 +39,6 @@ from .pallas_megakernel import (
     _brdf_sample_from_vec,
     _draw_vec,
     _nearest_hit_fold,
-    _sample_loop_unroll,
     _scene_tables,
     _table_rows,
 )
@@ -262,19 +261,19 @@ def _split_kernel_body(
     )
     # Same sample-loop rolling policy as the inline megakernel (Mosaic
     # compile time grows superlinearly in unrolled body size); looked up
-    # dynamically so tests can flip the threshold.
+    # dynamically so tests can flip the threshold.  Unlike the inline
+    # kernel, the rolled loop runs with NO partial unroll: this body is
+    # ~4x the inline bounce (fold + split + stack traffic), and a 4-wide
+    # unroll pushed the 64-spp Mosaic compile to ~15 min on v5e, while
+    # per-sample loop overhead is already amortized over the 24-step
+    # traversal inside.
     if spp <= _pmk.SAMPLE_UNROLL_MAX:
         for _ in range(spp):
             carry = one_sample(carry)
     else:
-        u = _sample_loop_unroll(spp)
-
-        def samples_body(_i, c):
-            for _ in range(u):
-                c = one_sample(c)
-            return c
-
-        carry = jax.lax.fori_loop(0, spp // u, samples_body, carry)
+        carry = jax.lax.fori_loop(
+            0, spp, lambda _i, c: one_sample(c), carry
+        )
     ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
 
     out_r_ref[:, :] = acc_r
