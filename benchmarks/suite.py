@@ -260,16 +260,28 @@ def config4():
     from haskell_path_tracer_tpu.render.nee import _present_kinds
 
     kinds = _present_kinds(scene)
+    # The full 256 spp are rendered, but as 8 pipelined 32-spp dispatches:
+    # one 256-spp XLA execution runs ~80 s, past the tunneled TPU worker's
+    # single-execution deadline (the worker is killed mid-run).  Dispatch
+    # count does not change the workload — the accumulator threads through.
+    spp_chunk, n_chunks = 32, spp // 32
     step = jax.jit(
         lambda s, c, a: hpt.render_batch_physical(
-            s, c, a, spp=spp, num_bounces=b, nee=True, kinds=kinds
+            s, c, a, spp=spp_chunk, num_bounces=b, nee=True, kinds=kinds
         )
     )
-    dt = _timeit(lambda: step(scene, cam, acc), n=1)
+
+    def full(a):
+        for _ in range(n_chunks):
+            a = step(scene, cam, a)
+        return a
+
+    dt = _timeit(lambda: full(acc), n=1)
     # NEE traces 2 rays per bounce (bsdf + shadow).
     _report(
         4, "big1000_nee_1920x1088x256sppx4b_physical",
-        w * h * spp * b * 2, dt, {"note": "rays counts bsdf+shadow"},
+        w * h * spp * b * 2, dt,
+        {"note": "rays counts bsdf+shadow; 8x32spp pipelined dispatches"},
     )
 
 
