@@ -403,8 +403,15 @@ def hit_from_t_prim(
         kind_parts.append(scene.triangles.material.brdf_kind)
     all_kinds = jnp.concatenate(kind_parts)
     if chunked:
-        fields = _field_table(scene)[prim]  # [..., 11] row gather
-        brdf_kind = all_kinds[prim]
+        # ONE row gather for payload + kind: gather cost on TPU is per-op
+        # (~9 ms at 2M indices regardless of row width), so folding the
+        # kind column into the field table halves the gather bill here.
+        rows = jnp.concatenate(
+            [_field_table(scene), all_kinds.astype(jnp.float32)[:, None]],
+            axis=-1,
+        )[prim]
+        fields = rows[..., :-1]
+        brdf_kind = jnp.round(rows[..., -1]).astype(jnp.int32)
     else:
         iota = jnp.arange(num_prims, dtype=jnp.int32)
         onehot = (prim[..., None] == iota).astype(jnp.float32)  # [..., P]

@@ -341,6 +341,27 @@ def _trace_physical_fused(
     if kinds is None:
         kinds = _present_kinds(scene)
 
+    # Compact light table, built once per trace: every per-bounce light
+    # quantity (center, radius, emission, global index) comes from ONE row
+    # gather of this table instead of five scattered gathers of the full
+    # sphere table plus a [rays, P] cdf-argmax.  `size=n_spheres` keeps it
+    # exhaustive (no light-count cap); selection below reproduces
+    # `sample_light_cone`'s rank rule exactly.
+    l_mask, _, l_count = _light_fields(scene)
+    lsel = jnp.nonzero(l_mask, size=n_spheres, fill_value=0)[0].astype(
+        jnp.int32
+    )
+    light_table = jnp.concatenate(
+        [
+            pos[lsel],
+            radius[lsel][:, None],
+            mat.color[lsel],
+            mat.illuminance[lsel][:, None],
+            lsel[:, None].astype(jnp.float32),  # exact for idx < 2^24
+        ],
+        axis=-1,
+    )  # [n_spheres, 9]
+
     def dual(point, d_bsdf, l_dir, t_light, l_idx, alive):
         t, prim, occ = PI.sphere_dual_query(
             point.reshape(-1, 3),
@@ -392,12 +413,26 @@ def _trace_physical_fused(
 
         un, rng2 = rng_ops.gen_vec(rng2)
         us = (un + 1.0) * 0.5
-        l_dir, inv_pdf, l_idx = sample_light_cone(
-            scene, hit.point, us[..., 0], us[..., 1], us[..., 2]
+        # Rank selection == sample_light_cone's cdf-argmax: the k-th set
+        # bit of l_mask is lsel[k], and rank-1 = clip(floor(u*count),
+        # 0, count-1) (count == 0 degenerates to row 0 on both
+        # formulations, masked off through inv_pdf = 0).
+        k = jnp.clip(
+            jnp.floor(us[..., 0] * l_count),
+            0.0,
+            jnp.maximum(l_count - 1.0, 0.0),
+        ).astype(jnp.int32)
+        lrow = light_table[k]  # the bounce's single light-side gather
+        l_pos, l_rad = lrow[..., 0:3], lrow[..., 3]
+        l_emit = lrow[..., 4:7] * lrow[..., 7:8]
+        l_idx = jnp.round(lrow[..., 8]).astype(jnp.int32)
+        l_dir, solid_angle = _cone_sample(
+            l_pos, l_rad, hit.point, us[..., 1], us[..., 2]
         )
-        t_light = _sphere_t_single(
-            hit.point, l_dir, pos[l_idx], radius[l_idx]
+        inv_pdf = jnp.where(
+            (l_count > 0) & (solid_angle > 1e-9), solid_angle * l_count, 0.0
         )
+        t_light = _sphere_t_single(hit.point, l_dir, l_pos, l_rad)
         t2, prim2, occ = dual(
             hit.point, next_d, l_dir, t_light, l_idx, ~dead
         )
@@ -411,7 +446,6 @@ def _trace_physical_fused(
         visible = ~occ & (t_light < INFINITE)
         cos_i = linalg.dot(l_dir, hit.normal)
         is_matte = hit.brdf_kind == BRDF_MATTE
-        l_emit = mat.color[l_idx] * mat.illuminance[l_idx][..., None]
         w = visible & is_matte & (cos_i > 0.0)
         contrib = (
             throughput
