@@ -264,7 +264,9 @@ def config4():
     # one 256-spp XLA execution runs ~80 s, past the tunneled TPU worker's
     # single-execution deadline (the worker is killed mid-run).  Dispatch
     # count does not change the workload — the accumulator threads through.
-    spp_chunk, n_chunks = 32, spp // 32
+    spp_chunk = 32
+    assert spp % spp_chunk == 0, (spp, spp_chunk)  # _report credits w*h*spp
+    n_chunks = spp // spp_chunk
     step = jax.jit(
         lambda s, c, a: hpt.render_batch_physical(
             s, c, a, spp=spp_chunk, num_bounces=b, nee=True, kinds=kinds

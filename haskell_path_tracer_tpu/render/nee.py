@@ -334,6 +334,14 @@ def _trace_physical_fused(
     """
     from ..ops import pallas_intersect as PI
 
+    # Loud contract (ADVICE r2): _light_fields' mask spans spheres ++
+    # triangles, so a triangle scene would alias lsel rows into wrong
+    # spheres; and the light index round-trips through f32 in the table
+    # (exact only below 2^24).  `_fused_eligible` guarantees both today.
+    assert scene.triangles.count == 0 and scene.boxes.count == 0, (
+        "fused NEE path is spheres+planes only"
+    )
+    assert scene.spheres.count < 2**24, "f32 light-index round-trip"
     n_spheres = scene.spheres.count
     shape = rays.origin.shape[:-1]
     pos, radius = scene.spheres.pos, scene.spheres.radius

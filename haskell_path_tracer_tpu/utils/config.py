@@ -38,8 +38,6 @@ class RenderConfig:
     kernel: str = "auto"
     # Bounce limit (maxIterations = 15, Trace.hs:80-81).
     bounces: int = 15
-    # Samples per jitted dispatch.
-    spp_per_dispatch: int = 1
     # Reseed the per-pixel RNGs every N samples (Main.hs:236-239).
     reseed_interval: int = 2000
     # Unbiased early termination (the reference's TODO, Trace.hs:338-340).
@@ -52,8 +50,6 @@ class RenderConfig:
     # Wavefront queue capacity as a multiple of the pixel count (1.0 = one
     # slot per primary ray; >1 leaves room for ray splitting).
     queue_factor: float = 1.0
-    # Device mesh shape for sharded rendering: (data/tile axis,).
-    mesh_shape: Optional[Tuple[int, ...]] = None
     # RNG seed (None = system entropy, like the reference's MWC seeding).
     seed: Optional[int] = None
 
@@ -80,6 +76,11 @@ def add_cli_args(parser: argparse.ArgumentParser) -> None:
         "--sampler", choices=["sfc32", "threefry"], default=d.sampler,
         help="physical-mode RNG: stateful SFC32 (reference parity) or "
         "stateless threefry (replayable from seed+iteration)",
+    )
+    parser.add_argument(
+        "--kernel", choices=["auto", "xla", "pallas"], default=d.kernel,
+        help="inline-variant compute backend: auto (Pallas megakernel on "
+        "TPU, XLA elsewhere), or force one",
     )
     parser.add_argument(
         "--split", action="store_true", default=False,
@@ -112,6 +113,7 @@ def config_from_args(args: argparse.Namespace) -> RenderConfig:
         russian_roulette=args.russian_roulette,
         nee=getattr(args, "nee", True),
         sampler=getattr(args, "sampler", "sfc32"),
+        kernel=getattr(args, "kernel", "auto"),
         split=getattr(args, "split", False),
         queue_factor=getattr(args, "queue_factor", 2.0),
         seed=args.seed,
