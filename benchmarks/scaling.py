@@ -37,6 +37,11 @@ def main():
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--train", action="store_true",
                    help="also measure the sharded inverse-rendering step")
+    p.add_argument("--backend", choices=["auto", "xla", "pallas"],
+                   default="auto",
+                   help="gradient backend for --train: the fused Pallas "
+                   "fwd+bwd megakernel (TPU) or the rematerialized XLA "
+                   "path; auto = pallas on TPU, xla elsewhere")
     args = p.parse_args()
 
     if args.force_cpu:
@@ -166,6 +171,9 @@ def main():
 
     if args.train:
         base = None
+        backend = args.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         params = G.scene_to_params(scene)
         for nd in sizes:
             mesh = M.make_mesh(n_tile=nd, n_sample=1, devices=devices[:nd])
@@ -189,6 +197,7 @@ def main():
                 lambda p, sc, cm, t, r, _mesh=mesh: train_step_sharded(
                     p, sc, cm, t, r, _mesh,
                     num_bounces=min(args.bounces, 4), lr=1e-3,
+                    backend=backend,
                 )
             )
             dt = timeit(
@@ -199,7 +208,7 @@ def main():
                 base = rate
             eff = rate / (base * nd)
             print(json.dumps({
-                "step": "train", "devices": nd,
+                "step": "train", "devices": nd, "backend": backend,
                 "rays_per_s": round(rate), "seconds": round(dt, 4),
                 "efficiency_vs_1dev": round(eff, 4),
             }), flush=True)

@@ -16,8 +16,11 @@ Design (Dr.Jit-style, see PAPERS.md):
     discontinuities are not differentiated (their measure-zero contribution
     is ignored, the standard path-space approximation);
   * gradients flow through intersection distances, normals, BRDF weights,
-    throughput products and emission, covering material color, illuminance,
-    BRDF parameters, sphere position/radius and plane position/normal.
+    throughput products and emission, covering every continuous scene leaf:
+    material color / illuminance / BRDF parameter of all four primitive
+    kinds, sphere position/radius, plane position and normal (renormalized
+    after each update), box corners, and triangle vertices.  Only the
+    integer BRDF kind tags are non-differentiable.
 
 RNG states are held fixed for a given gradient evaluation, making the loss
 deterministic — the same-seed trick that keeps finite-difference validation
@@ -48,6 +51,9 @@ def render_radiance(
     spp: int = 1,
     backend: str = "xla",
     has_dielectric: bool | None = None,
+    row_offset=0,
+    full_height: int | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Differentiable expected-radiance image [H, W, 3].
 
@@ -55,23 +61,30 @@ def render_radiance(
     is treated as a constant (no tangent), so the function is a
     deterministic, differentiable map from scene parameters to pixels.
 
+    `row_offset`/`full_height` render a row block of a taller image (the
+    sharded path: each chip differentiates its own tile — see
+    parallel/shard.py); `interpret` runs the Pallas backend in interpret
+    mode (CPU tests of the sharded-pallas gradient path).
+
     ``backend="pallas"`` routes through the fused differentiable TPU
     megakernel (ops/pallas_megakernel_vjp.py): identical detach semantics,
     bit-equal forward, and the whole fwd+bwd bounce loop stays in VMEM —
-    ~5x the rematerialized-XLA path's fwd+bwd throughput on TPU.  XLA is
-    the default because it covers every primitive kind (the Pallas kernel
-    folds spheres+planes only) and every backend.  `has_dielectric=False`
-    (a static host-side fact, see Renderer._scene_has_dielectric) elides
-    the glass block bit-exactly on the Pallas path.
+    ~5x the rematerialized-XLA path's fwd+bwd throughput on TPU.  The
+    Pallas kernel folds all four primitive kinds (spheres, planes, boxes,
+    triangles — cotangents verified against XLA in tests/test_pallas_vjp);
+    XLA remains the default because it runs on every backend.
+    `has_dielectric=False` (a static host-side fact, see
+    Renderer._scene_has_dielectric) elides the glass block bit-exactly on
+    the Pallas path.
     """
-    rays = primary_rays(camera, width, height)
+    rays = primary_rays(camera, width, height, row_offset, full_height)
 
     if backend == "pallas":
         from ..ops.pallas_megakernel_vjp import trace_inline_pallas_diff
 
         rad_sum, _ = trace_inline_pallas_diff(
             scene, rays, rng_state, num_bounces=num_bounces, spp=spp,
-            has_dielectric=has_dielectric,
+            has_dielectric=has_dielectric, interpret=interpret,
         )
         return rad_sum / spp
     if backend != "xla":
@@ -89,10 +102,14 @@ def render_radiance(
 
 
 class SceneParams(NamedTuple):
-    """The differentiable subset of a Scene, as a flat pytree.
+    """EVERY continuous (differentiable) leaf of a Scene, as a flat pytree.
 
-    Geometry (sphere pos/radius, plane pos) and materials (color,
-    illuminance, brdf_param) of every primitive.
+    Geometry: sphere pos/radius, plane pos/normal, box lo/hi, triangle
+    v0/v1/v2.  Materials: color, illuminance, brdf_param of all four
+    primitive kinds.  Only the integer BRDF kind tags stay in the
+    template.  The plane normal trains on the unit sphere: it is stored
+    raw here and renormalized inside `params_to_scene`, so an SGD update
+    cannot produce a non-unit normal in the rebuilt scene.
     """
 
     sphere_pos: jnp.ndarray
@@ -101,9 +118,21 @@ class SceneParams(NamedTuple):
     sphere_illum: jnp.ndarray
     sphere_param: jnp.ndarray
     plane_pos: jnp.ndarray
+    plane_normal: jnp.ndarray
     plane_color: jnp.ndarray
     plane_illum: jnp.ndarray
     plane_param: jnp.ndarray
+    box_lo: jnp.ndarray
+    box_hi: jnp.ndarray
+    box_color: jnp.ndarray
+    box_illum: jnp.ndarray
+    box_param: jnp.ndarray
+    tri_v0: jnp.ndarray
+    tri_v1: jnp.ndarray
+    tri_v2: jnp.ndarray
+    tri_color: jnp.ndarray
+    tri_illum: jnp.ndarray
+    tri_param: jnp.ndarray
 
 
 def scene_to_params(scene: Scene) -> SceneParams:
@@ -114,15 +143,35 @@ def scene_to_params(scene: Scene) -> SceneParams:
         sphere_illum=scene.spheres.material.illuminance,
         sphere_param=scene.spheres.material.brdf_param,
         plane_pos=scene.planes.pos,
+        plane_normal=scene.planes.normal,
         plane_color=scene.planes.material.color,
         plane_illum=scene.planes.material.illuminance,
         plane_param=scene.planes.material.brdf_param,
+        box_lo=scene.boxes.lo,
+        box_hi=scene.boxes.hi,
+        box_color=scene.boxes.material.color,
+        box_illum=scene.boxes.material.illuminance,
+        box_param=scene.boxes.material.brdf_param,
+        tri_v0=scene.triangles.v0,
+        tri_v1=scene.triangles.v1,
+        tri_v2=scene.triangles.v2,
+        tri_color=scene.triangles.material.color,
+        tri_illum=scene.triangles.material.illuminance,
+        tri_param=scene.triangles.material.brdf_param,
     )
 
 
 def params_to_scene(params: SceneParams, template: Scene) -> Scene:
     """Rebuild a Scene from differentiable params + the template's
-    non-differentiable fields (BRDF kind tags, plane normals)."""
+    non-differentiable fields (the BRDF kind tags).  No geometry is
+    frozen: every continuous field comes from `params`."""
+    from ..models.objects import Boxes, Triangles
+
+    norm = jnp.sqrt(
+        jnp.maximum(
+            jnp.sum(params.plane_normal**2, axis=-1, keepdims=True), 1e-12
+        )
+    )
     return Scene(
         spheres=Spheres(
             pos=params.sphere_pos,
@@ -136,7 +185,7 @@ def params_to_scene(params: SceneParams, template: Scene) -> Scene:
         ),
         planes=Planes(
             pos=params.plane_pos,
-            normal=template.planes.normal,
+            normal=params.plane_normal / norm,
             material=Materials(
                 color=params.plane_color,
                 illuminance=params.plane_illum,
@@ -144,10 +193,27 @@ def params_to_scene(params: SceneParams, template: Scene) -> Scene:
                 brdf_param=params.plane_param,
             ),
         ),
-        # Boxes/triangles pass through from the template (geometry and
-        # materials stay fixed; extend SceneParams if they should train).
-        boxes=template.boxes,
-        triangles=template.triangles,
+        boxes=Boxes(
+            lo=params.box_lo,
+            hi=params.box_hi,
+            material=Materials(
+                color=params.box_color,
+                illuminance=params.box_illum,
+                brdf_kind=template.boxes.material.brdf_kind,
+                brdf_param=params.box_param,
+            ),
+        ),
+        triangles=Triangles(
+            v0=params.tri_v0,
+            v1=params.tri_v1,
+            v2=params.tri_v2,
+            material=Materials(
+                color=params.tri_color,
+                illuminance=params.tri_illum,
+                brdf_kind=template.triangles.material.brdf_kind,
+                brdf_param=params.tri_param,
+            ),
+        ),
     )
 
 

@@ -1,0 +1,717 @@
+"""Pallas TPU megakernel for the physical/NEE integrator.
+
+Round-2 profiling (BASELINE config 4: 1080p / 1000 spheres / NEE) showed
+the fused dual-query kernel (`pallas_intersect.sphere_dual_query`) was
+only ~40% of the per-bounce cost — the other ~60% was XLA "glue": the
+per-bounce material gathers, BRDF sampling, light sampling and HBM
+round-trips between fusion boundaries.  This kernel fuses the ENTIRE
+physical/NEE bounce loop — primary nearest-hit, per-bounce payload
+gather, cosine/specular BRDF sampling, cone light sampling, the dual
+(BSDF nearest + shadow occlusion) sphere fold, plane merge and emission
+bookkeeping — for ALL samples and ALL bounces of a dispatch, so a ray
+block's state never leaves VMEM.
+
+Layout ("flat-R"): per-lane state lives in [1, R] lane-major rows and
+the pairwise ray x sphere work in [P, R] matrices built by VPU broadcast
+arithmetic (cx [P,1] against ox [1,R]).  Measured on v5e at
+1M rays x 1024 spheres this fold formulation runs at 106.9 Gpairs/s —
+above the round-2 scalar-SMEM fold (91.6) — because the per-sphere loop
+disappears into full-width vector ops; MXU matmul variants measured
+SLOWER (84.7 G at K=8) since the dot reconstruction still pays the same
+elementwise tail.  The one matmul kept is the per-bounce one-hot payload
+gather ([10, P] @ [P, R] at HIGHEST precision — exact for one-hot
+operands), which replaces the 2M-index XLA gathers that dominated the
+round-2 glue.
+
+Estimator semantics mirror `render/nee.py:_trace_physical_fused` (same
+RNG draw order, same light selection rank rule, same emission rule,
+same accept/reject sets).  Arithmetic NOTE: the fold expands
+|c - o|^2 = |c|^2 - 2 c.o + |o|^2 (hoisting |c|^2 per sphere), which
+differs from the XLA path's (c - o) form by ~1e-4 absolute — accept
+decisions can flip on exactly-tangent rays (measure-zero; both are
+valid unbiased estimators of microscopically different spheres).  Tests
+therefore assert per-lane equality on >99.9% of lanes and tight
+agreement of the estimator mean, not bit equality.
+
+Reference parity anchors: BRDF weights are the *corrected* physical
+ones (render/nee.py module docstring), not the reference's admittedly
+wrong formulas (/root/reference/src/Scene/Trace.hs:393); the SFC32 RNG
+is the reference's (/root/reference/src/Util.hs:114-127); ray-sphere
+accept rules are Intersection.hs:39-48 re-derived at an offset origin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.objects import (
+    BRDF_DIELECTRIC,
+    BRDF_GLOSSY,
+    BRDF_MATTE,
+    Scene,
+)
+from .intersect import EPSILON, INFINITE, PLANE_DENOM_EPS
+
+TWO_PI = np.float32(2.0 * np.pi)
+INV_PI = np.float32(1.0 / np.pi)
+NEAR_ZERO_EPS = np.float32(1e-6)
+DEFAULT_BLOCK_R = 512  # lanes per program; [P, R] fold tiles stay in VMEM
+
+
+# --- SFC32 on [1, R] u32 rows (same ops as ops/rng.py:sfc32_next) -------
+
+def _sfc32_next(a, b, c, ctr):
+    t = a + b + ctr
+    ctr = ctr + jnp.uint32(1)
+    a = b ^ (b >> 9)
+    b = c + (c << 3)
+    c = ((c << 21) | (c >> 11)) + t
+    return t, a, b, c, ctr
+
+
+def _uniform01(a, b, c, ctr):
+    bits, a, b, c, ctr = _sfc32_next(a, b, c, ctr)
+    # Mosaic lacks u32 -> f32; bits >> 8 < 2^24 so the i32 hop is exact.
+    u = (bits >> 8).astype(jnp.int32).astype(jnp.float32)
+    return u * np.float32(1.0 / (1 << 24)), a, b, c, ctr
+
+
+def _draw3(rng):
+    """Three sequential SFC32 uniforms in [0, 1) — the value gen_vec's
+    [-1,1] output maps back to under (v+1)*0.5 (exact in fp)."""
+    a, b, c, ctr = rng
+    u1, a, b, c, ctr = _uniform01(a, b, c, ctr)
+    u2, a, b, c, ctr = _uniform01(a, b, c, ctr)
+    u3, a, b, c, ctr = _uniform01(a, b, c, ctr)
+    return u1, u2, u3, (a, b, c, ctr)
+
+
+# --- small vector helpers on ([1,R],)*3 triples -------------------------
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _onb(wx, wy, wz):
+    """Branchless ONB (render/nee.py:_orthonormal_basis, Duff et al.)."""
+    sign = jnp.where(wz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + wz)
+    b = wx * wy * a
+    b1 = (1.0 + sign * wx * wx * a, sign * b, -sign * wx)
+    b2 = (b, sign + wy * wy * a, -wy)
+    return b1, b2
+
+
+def _cosine_hemisphere(nx, ny, nz, u1, u2):
+    """render/nee.py:sample_cosine_hemisphere on rows."""
+    r = jnp.sqrt(u1)
+    phi = TWO_PI * u2
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    z = jnp.sqrt(jnp.maximum(1.0 - u1, 1e-12))
+    (b1x, b1y, b1z), (b2x, b2y, b2z) = _onb(nx, ny, nz)
+    return (
+        b1x * x + b2x * y + nx * z,
+        b1y * x + b2y * y + ny * z,
+        b1z * x + b2z * y + nz * z,
+    )
+
+
+def _cone_sample(cx, cy, cz, radius, px, py, pz, u1, u2):
+    """render/nee.py:_cone_sample on rows: uniform direction in the cone
+    subtended by the sphere; returns (dir x3, solid_angle)."""
+    tx, ty, tz = cx - px, cy - py, cz - pz
+    dc2 = _dot3(tx, ty, tz, tx, ty, tz)
+    dc = jnp.sqrt(jnp.maximum(dc2, 1e-12))
+    sin2_max = jnp.clip(radius * radius / jnp.maximum(dc2, 1e-12), 0.0, 1.0)
+    on_sphere = sin2_max >= 1.0
+    cos_max = jnp.where(
+        on_sphere, 0.0, jnp.sqrt(jnp.where(on_sphere, 1.0, 1.0 - sin2_max))
+    )
+    cos_t = 1.0 - u1 * (1.0 - cos_max)
+    st2 = 1.0 - cos_t * cos_t
+    st_ok = st2 > 0.0
+    sin_t = jnp.where(st_ok, jnp.sqrt(jnp.where(st_ok, st2, 1.0)), 0.0)
+    phi = TWO_PI * u2
+    wx, wy, wz = tx / dc, ty / dc, tz / dc
+    (b1x, b1y, b1z), (b2x, b2y, b2z) = _onb(wx, wy, wz)
+    sc, ss = sin_t * jnp.cos(phi), sin_t * jnp.sin(phi)
+    return (
+        b1x * sc + b2x * ss + wx * cos_t,
+        b1y * sc + b2y * ss + wy * cos_t,
+        b1z * sc + b2z * ss + wz * cos_t,
+        TWO_PI * (1.0 - cos_max),
+    )
+
+
+def _sphere_t_single(px, py, pz, dx, dy, dz, cx, cy, cz, radius):
+    """render/nee.py:_sphere_t_single on rows: distance to ONE sphere
+    with offset-origin acceptance (tca >= eps, t >= eps); INF on miss."""
+    lx, ly, lz = cx - px, cy - py, cz - pz
+    tca = _dot3(lx, ly, lz, dx, dy, dz)
+    d2 = _dot3(lx, ly, lz, lx, ly, lz) - tca * tca
+    r2 = radius * radius
+    outside = d2 > r2
+    thc = jnp.where(
+        outside,
+        0.0,
+        jnp.sqrt(jnp.where(outside, 1.0, jnp.maximum(r2 - d2, 1e-12))),
+    )
+    t = tca - thc
+    miss = (tca < EPSILON) | outside | (t < EPSILON)
+    return jnp.where(miss, INFINITE, t)
+
+
+def _plane_t(ox, oy, oz, dx, dy, dz, prow, reject_below):
+    """ops/intersect.py:plane_distances for ONE plane (SMEM scalars):
+    one-sided accept (denom <= PLANE_DENOM_EPS), dist >= reject_below
+    (0 for camera rays, EPSILON from a shade point); INF on miss."""
+    px, py, pz = prow[0], prow[1], prow[2]
+    nx, ny, nz = prow[3], prow[4], prow[5]
+    denom = dx * nx + dy * ny + dz * nz
+    num = (px - ox) * nx + (py - oy) * ny + (pz - oz) * nz
+    denom_safe = jnp.where(denom == 0.0, PLANE_DENOM_EPS * 0.5, denom)
+    dist = num / denom_safe
+    miss = (denom > PLANE_DENOM_EPS) | (dist < reject_below)
+    return jnp.where(miss, INFINITE, dist)
+
+
+def _nee_kernel(
+    geom_ref,    # VMEM [P, 8] f32: cx, cy, cz, r2, cc, 0, 0, 0
+    gat_ref,     # VMEM [16, P] f32: cr cg cb il cx cy cz param kind 0...
+    plane_ref,   # SMEM [M?, 12] f32: px py pz nx ny nz cr cg cb il param kind
+    light_ref,   # SMEM [L?, 8] f32: lx ly lz radius er eg eb gidx
+    rays_ref,    # VMEM [8, R] f32: ox oy oz dx dy dz 0 0
+    rng_ref,     # VMEM [4, R] u32
+    rad_ref,     # out VMEM [4, R] f32 (row 3 zero)
+    rng_out_ref, # out VMEM [4, R] u32
+    *,
+    spp, num_bounces, num_spheres, num_planes, num_lights,
+    has_glossy, has_diel,
+):
+    P = num_spheres
+    R = rays_ref.shape[1]
+    rays = rays_ref[:, :]
+    pox, poy, poz = rays[0:1], rays[1:2], rays[2:3]
+    pdx, pdy, pdz = rays[3:4], rays[4:5], rays[5:6]
+    rng0 = rng_ref[:, :]
+
+    geom = geom_ref[:, :]
+    gcx = geom[:, 0:1]  # [P, 1] columns broadcast against [1, R] rows
+    gcy = geom[:, 1:2]
+    gcz = geom[:, 2:3]
+    gr2 = geom[:, 3:4]
+    gcc = geom[:, 4:5]
+    gatT = gat_ref[:, :]  # [16, P]
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, R), 0)
+
+    def sphere_pair_terms(ox, oy, oz):
+        """Shared per-(sphere, lane) terms from a query point: c.o and
+        |c - o|^2 via the hoisted-|c|^2 expansion."""
+        oo = _dot3(ox, oy, oz, ox, oy, oz)  # [1, R]
+        co = gcx * ox + gcy * oy + gcz * oz  # [P, R]
+        ll = gcc - 2.0 * co + oo
+        return ll
+
+    def sphere_nearest(ll, ox, oy, oz, dx, dy, dz, eps):
+        """(t, prim) of the nearest sphere: accept tca>=eps, h>=0,
+        t>=eps (== the reference rules at an eps-shifted origin)."""
+        od = _dot3(ox, oy, oz, dx, dy, dz)
+        tca = (gcx * dx + gcy * dy + gcz * dz) - od
+        h = gr2 - (ll - tca * tca)
+        thc = jnp.sqrt(jnp.maximum(h, 0.0))
+        t = tca - thc
+        ok = (tca >= eps) & (h >= 0.0) & (t >= eps)
+        t_sel = jnp.where(ok, t, INFINITE)
+        best_t = jnp.min(t_sel, axis=0, keepdims=True)  # [1, R]
+        best_p = jnp.min(
+            jnp.where(t_sel == best_t, iota_p, P), axis=0, keepdims=True
+        )
+        best_p = jnp.minimum(best_p, P - 1)  # miss lanes: clamp, t=INF marks
+        return best_t, best_p
+
+    def sphere_shadow(ll, ox, oy, oz, bx, by, bz, t_l, l_idx):
+        """Occlusion: any sphere (except l_idx) hit in [eps, t_l) along
+        (bx,by,bz) — sqrt-free (pallas_intersect.py:_dual_fold_kernel)."""
+        ob = _dot3(ox, oy, oz, bx, by, bz)
+        tca2 = (gcx * bx + gcy * by + gcz * bz) - ob
+        h2 = gr2 - (ll - tca2 * tca2)
+        a1 = tca2 - EPSILON
+        a2 = tca2 - t_l
+        occ_p = (
+            (h2 >= 0.0)
+            & (a1 >= 0.0)
+            & (a1 * a1 >= h2)
+            & ((a2 < 0.0) | (a2 * a2 < h2))
+            & (iota_p != l_idx)
+        )
+        return jnp.any(occ_p, axis=0, keepdims=True)
+
+    def merge_planes(t, prim, ox, oy, oz, dx, dy, dz, reject_below):
+        """Fold planes into the sphere-best; strict < keeps the sphere on
+        ties and the lowest plane index among planes (checkHit order)."""
+        for j in range(num_planes):
+            prow = [plane_ref[j, k] for k in range(6)]
+            pt = _plane_t(ox, oy, oz, dx, dy, dz, prow, reject_below)
+            better = pt < t
+            t = jnp.where(better, pt, t)
+            prim = jnp.where(better, P + j, prim)
+        return t, prim
+
+    def payload(t, prim):
+        """Hit payload: one-hot MXU gather for spheres (exact at HIGHEST
+        precision), unrolled SMEM selects for planes."""
+        hit = t < INFINITE
+        onehot = ((iota_p == prim) & hit).astype(jnp.float32)  # [P, R]
+        g = jax.lax.dot_general(
+            gatT, onehot, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [16, R]
+        cr, cg, cb = g[0:1], g[1:2], g[2:3]
+        il = g[3:4]
+        ax, ay, az = g[4:5], g[5:6], g[6:7]  # sphere center
+        param = g[7:8]
+        kind = g[8:9]
+        is_plane = prim >= P
+        for j in range(num_planes):
+            m = prim == P + j
+            cr = jnp.where(m, plane_ref[j, 6], cr)
+            cg = jnp.where(m, plane_ref[j, 7], cg)
+            cb = jnp.where(m, plane_ref[j, 8], cb)
+            il = jnp.where(m, plane_ref[j, 9], il)
+            param = jnp.where(m, plane_ref[j, 10], param)
+            kind = jnp.where(m, plane_ref[j, 11], kind)
+            ax = jnp.where(m, plane_ref[j, 3], ax)
+            ay = jnp.where(m, plane_ref[j, 4], ay)
+            az = jnp.where(m, plane_ref[j, 5], az)
+        return hit, is_plane, cr, cg, cb, il, param, kind, ax, ay, az
+
+    def one_sample(carry):
+        ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
+        # Primary hit from the camera: eps = 0 acceptance (nearest_hit).
+        ll0 = sphere_pair_terms(pox, poy, poz)
+        t, prim = sphere_nearest(ll0, pox, poy, poz, pdx, pdy, pdz, 0.0)
+        t, prim = merge_planes(t, prim, pox, poy, poz, pdx, pdy, pdz, 0.0)
+
+        state = (
+            pox, poy, poz, pdx, pdy, pdz, t, prim,
+            ra, rb, rc, rctr,
+            jnp.zeros((1, R), jnp.float32),  # result r
+            jnp.zeros((1, R), jnp.float32),
+            jnp.zeros((1, R), jnp.float32),
+            jnp.ones((1, R), jnp.float32),   # throughput r
+            jnp.ones((1, R), jnp.float32),
+            jnp.ones((1, R), jnp.float32),
+            jnp.ones((1, R), jnp.int32),     # prev_spec
+        )
+
+        def bounce(_, st):
+            (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
+             res_r, res_g, res_b, th_r, th_g, th_b, prev_spec) = st
+
+            (hit, is_plane, cr, cg, cb, il, param, kind,
+             ax, ay, az) = payload(t, prim)
+            q = th_r * th_r + th_g * th_g + th_b * th_b
+            dead = (q <= NEAR_ZERO_EPS) | ~hit
+
+            def live_body(operands):
+                (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
+                 res_r, res_g, res_b, th_r, th_g, th_b, prev_spec) = operands
+
+                # Hit point + normal (sphere: normalize(point - center);
+                # plane: stored normal) — ops/intersect.py:hit_from_t_prim.
+                t_safe = jnp.where(hit, t, 0.0)
+                hx = ox + dx * t_safe
+                hy = oy + dy * t_safe
+                hz = oz + dz * t_safe
+                sx, sy, sz = hx - ax, hy - ay, hz - az
+                sq = _dot3(sx, sy, sz, sx, sy, sz)
+                inv = 1.0 / jnp.maximum(jnp.sqrt(sq), 1e-20)
+                nx = jnp.where(is_plane, ax, sx * inv)
+                ny = jnp.where(is_plane, ay, sy * inv)
+                nz = jnp.where(is_plane, az, sz * inv)
+
+                # Emission pickup (NEE rule: specular chains + planes).
+                take = (prev_spec != 0) | is_plane
+                emit = jnp.where(take, il, 0.0)
+                nres_r = res_r + emit * cr * th_r
+                nres_g = res_g + emit * cg * th_g
+                nres_b = res_b + emit * cb * th_b
+
+                # BRDF sampling (render/nee.py:sample_physical): 3 draws.
+                u1, u2, u3, (ra2, rb2, rc2, rctr2) = _draw3(
+                    (ra, rb, rc, rctr)
+                )
+                ndx, ndy, ndz = _cosine_hemisphere(nx, ny, nz, u1, u2)
+                is_spec = jnp.zeros((1, R), jnp.bool_)
+                if has_glossy:
+                    ia = _dot3(dx, dy, dz, nx, ny, nz)
+                    gx = dx - 2.0 * ia * nx
+                    gy = dy - 2.0 * ia * ny
+                    gz = dz - 2.0 * ia * nz
+                    is_g = kind == np.float32(BRDF_GLOSSY)
+                    ndx = jnp.where(is_g, gx, ndx)
+                    ndy = jnp.where(is_g, gy, ndy)
+                    ndz = jnp.where(is_g, gz, ndz)
+                    is_spec = is_spec | is_g
+                if has_diel:
+                    # ops/brdf.py:dielectric_split + u3 branch choice.
+                    cos_i0 = -_dot3(dx, dy, dz, nx, ny, nz)
+                    inside = cos_i0 < 0.0
+                    fnx = jnp.where(inside, -nx, nx)
+                    fny = jnp.where(inside, -ny, ny)
+                    fnz = jnp.where(inside, -nz, nz)
+                    aci = jnp.abs(cos_i0)
+                    ior = param
+                    eta = jnp.where(inside, ior, 1.0 / ior)
+                    sin2 = eta * eta * jnp.maximum(1.0 - aci * aci, 0.0)
+                    tir = sin2 > 1.0
+                    cos_t = jnp.where(
+                        tir,
+                        0.0,
+                        jnp.sqrt(
+                            jnp.where(
+                                tir, 1.0, jnp.maximum(1.0 - sin2, 1e-12)
+                            )
+                        ),
+                    )
+                    r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+                    fres = r0 + (1.0 - r0) * (1.0 - aci) ** 5
+                    f_refl = jnp.where(tir, 1.0, fres)
+                    ia2 = _dot3(dx, dy, dz, fnx, fny, fnz)
+                    rx = dx - 2.0 * ia2 * fnx
+                    ry = dy - 2.0 * ia2 * fny
+                    rz = dz - 2.0 * ia2 * fnz
+                    k2 = eta * aci - cos_t
+                    tx = eta * dx + k2 * fnx
+                    ty = eta * dy + k2 * fny
+                    tz = eta * dz + k2 * fnz
+                    tq = jnp.maximum(
+                        jnp.sqrt(_dot3(tx, ty, tz, tx, ty, tz)), 1e-20
+                    )
+                    take_r = u3 < f_refl
+                    ddx = jnp.where(take_r, rx, tx / tq)
+                    ddy = jnp.where(take_r, ry, ty / tq)
+                    ddz = jnp.where(take_r, rz, tz / tq)
+                    is_d = kind == np.float32(BRDF_DIELECTRIC)
+                    ndx = jnp.where(is_d, ddx, ndx)
+                    ndy = jnp.where(is_d, ddy, ndy)
+                    ndz = jnp.where(is_d, ddz, ndz)
+                    is_spec = is_spec | is_d
+
+                if num_lights:
+                    # Light draw (3 uniforms) + rank selection + cone
+                    # sample — render/nee.py:_trace_physical_fused body.
+                    us0, us1, us2, (ra2, rb2, rc2, rctr2) = _draw3(
+                        (ra2, rb2, rc2, rctr2)
+                    )
+                    k = jnp.clip(
+                        jnp.floor(us0 * np.float32(num_lights)),
+                        0.0,
+                        np.float32(num_lights - 1),
+                    ).astype(jnp.int32)
+                    lx = jnp.zeros((1, R), jnp.float32)
+                    ly = jnp.zeros((1, R), jnp.float32)
+                    lz = jnp.zeros((1, R), jnp.float32)
+                    lrad = jnp.zeros((1, R), jnp.float32)
+                    ler = jnp.zeros((1, R), jnp.float32)
+                    leg = jnp.zeros((1, R), jnp.float32)
+                    leb = jnp.zeros((1, R), jnp.float32)
+                    lgi = jnp.zeros((1, R), jnp.int32)
+                    for j in range(num_lights):
+                        m = k == j
+                        lx = jnp.where(m, light_ref[j, 0], lx)
+                        ly = jnp.where(m, light_ref[j, 1], ly)
+                        lz = jnp.where(m, light_ref[j, 2], lz)
+                        lrad = jnp.where(m, light_ref[j, 3], lrad)
+                        ler = jnp.where(m, light_ref[j, 4], ler)
+                        leg = jnp.where(m, light_ref[j, 5], leg)
+                        leb = jnp.where(m, light_ref[j, 6], leb)
+                        lgi = jnp.where(
+                            m, jnp.int32(int(j)), lgi
+                        )  # placeholder; real gidx below
+                    # global index rides the table as f32 (exact < 2^24)
+                    lgif = jnp.zeros((1, R), jnp.float32)
+                    for j in range(num_lights):
+                        lgif = jnp.where(k == j, light_ref[j, 7], lgif)
+                    lgi = lgif.astype(jnp.int32)
+                    bx, by, bz, solid_angle = _cone_sample(
+                        lx, ly, lz, lrad, hx, hy, hz, us1, us2
+                    )
+                    inv_pdf = jnp.where(
+                        solid_angle > 1e-9,
+                        solid_angle * np.float32(num_lights),
+                        0.0,
+                    )
+                    t_l = _sphere_t_single(
+                        hx, hy, hz, bx, by, bz, lx, ly, lz, lrad
+                    )
+                else:
+                    bx = by = bz = jnp.zeros((1, R), jnp.float32)
+                    t_l = jnp.full((1, R), INFINITE)
+                    inv_pdf = jnp.zeros((1, R), jnp.float32)
+                    lgi = jnp.full((1, R), -1, jnp.int32)
+                    ler = leg = leb = jnp.zeros((1, R), jnp.float32)
+
+                # The dual fold: one pass of shared |c - o|^2 terms
+                # answers next-BSDF nearest AND shadow occlusion.
+                ll = sphere_pair_terms(hx, hy, hz)
+                t2, prim2 = sphere_nearest(
+                    ll, hx, hy, hz, ndx, ndy, ndz, EPSILON
+                )
+                t2, prim2 = merge_planes(
+                    t2, prim2, hx, hy, hz, ndx, ndy, ndz, EPSILON
+                )
+                if num_lights:
+                    occ = sphere_shadow(ll, hx, hy, hz, bx, by, bz, t_l, lgi)
+                    for j in range(num_planes):
+                        prow = [plane_ref[j, kk] for kk in range(6)]
+                        pd = _plane_t(hx, hy, hz, bx, by, bz, prow, 0.0)
+                        occ = occ | ((pd >= EPSILON) & (pd < t_l))
+                    visible = ~occ & (t_l < INFINITE)
+                    cos_i = _dot3(bx, by, bz, nx, ny, nz)
+                    is_matte = kind == np.float32(BRDF_MATTE)
+                    w = visible & is_matte & (cos_i > 0.0)
+                    scale = jnp.where(w, cos_i * inv_pdf * INV_PI, 0.0)
+                    nres_r = nres_r + th_r * cr * ler * scale
+                    nres_g = nres_g + th_g * cg * leg * scale
+                    nres_b = nres_b + th_b * cb * leb * scale
+
+                return (
+                    hx, hy, hz, ndx, ndy, ndz, t2, prim2,
+                    ra2, rb2, rc2, rctr2,
+                    nres_r, nres_g, nres_b,
+                    th_r * cr, th_g * cg, th_b * cb,
+                    is_spec.astype(jnp.int32),
+                )
+
+            operands = (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
+                        res_r, res_g, res_b, th_r, th_g, th_b, prev_spec)
+            # Whole-bounce block skip: a block whose lanes are all dead
+            # (sky tiles after bounce 0) skips fold AND glue; dead lanes
+            # draw no RNG in either formulation, so this is exact.
+            alive_any = jnp.any(~dead)
+            new = jax.lax.cond(
+                alive_any, live_body, lambda op: op, operands
+            )
+            (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_t, n_prim,
+             n_ra, n_rb, n_rc, n_rctr, n_rr, n_rg, n_rbl,
+             n_thr, n_thg, n_thb, n_ps) = new
+
+            sel = lambda old, nw: jnp.where(dead, old, nw)
+            return (
+                sel(ox, n_ox), sel(oy, n_oy), sel(oz, n_oz),
+                sel(dx, n_dx), sel(dy, n_dy), sel(dz, n_dz),
+                sel(t, n_t), sel(prim, n_prim),
+                sel(ra, n_ra), sel(rb, n_rb), sel(rc, n_rc),
+                sel(rctr, n_rctr),
+                sel(res_r, n_rr), sel(res_g, n_rg), sel(res_b, n_rbl),
+                jnp.where(dead, 0.0, n_thr),
+                jnp.where(dead, 0.0, n_thg),
+                jnp.where(dead, 0.0, n_thb),
+                sel(prev_spec, n_ps),
+            )
+
+        state = jax.lax.fori_loop(0, num_bounces, bounce, state)
+        (_, _, _, _, _, _, _, _, ra, rb, rc, rctr,
+         res_r, res_g, res_b, _, _, _, _) = state
+        return (ra, rb, rc, rctr,
+                acc_r + res_r, acc_g + res_g, acc_b + res_b)
+
+    zero = jnp.zeros((1, R), jnp.float32)
+    carry = (rng0[0:1], rng0[1:2], rng0[2:3], rng0[3:4], zero, zero, zero)
+    carry = jax.lax.fori_loop(
+        0, spp, lambda _, c: one_sample(c), carry
+    )
+    ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
+    rad_ref[:, :] = jnp.concatenate(
+        [acc_r, acc_g, acc_b, jnp.zeros((1, R), jnp.float32)], axis=0
+    )
+    rng_out_ref[:, :] = jnp.concatenate([ra, rb, rc, rctr], axis=0)
+
+
+def scene_light_indices(scene: Scene):
+    """STATIC (host-side) emissive-sphere index tuple, or None when the
+    scene's illuminance is traced (then the caller must fall back to the
+    XLA path — the kernel needs a static light count)."""
+    il = scene.spheres.material.illuminance
+    if isinstance(il, jax.core.Tracer):
+        return None
+    return tuple(int(i) for i in np.nonzero(np.asarray(il) > 0.0)[0])
+
+
+def nee_pallas_eligible(scene: Scene, backend: str | None = None) -> bool:
+    """The fused NEE megakernel covers sphere+plane scenes with a static
+    (concrete) material/light description, on TPU."""
+    if (backend or jax.default_backend()) != "tpu":
+        return False
+    if scene.boxes.count or scene.triangles.count:
+        return False
+    if scene.spheres.count == 0 or scene.spheres.count >= (1 << 24):
+        return False
+    if isinstance(scene.spheres.material.brdf_kind, jax.core.Tracer):
+        return False
+    return scene_light_indices(scene) is not None
+
+
+def trace_physical_nee_pallas(
+    scene: Scene,
+    rays,
+    rng_state: jnp.ndarray,
+    num_bounces: int = 8,
+    spp: int = 1,
+    light_idx: tuple | None = None,
+    kinds=None,
+    block_r: int = DEFAULT_BLOCK_R,
+    interpret: bool = False,
+):
+    """Fused physical/NEE trace: (radiance_sum over `spp` samples
+    [H, W, 3], final rng [H, W, 4]).
+
+    Drop-in for `spp` sequential `trace_physical(..., nee=True)` samples
+    summed (the `render_batch_physical` loop), with the whole loop in
+    VMEM.  `light_idx` is the static emissive-sphere index tuple
+    (`scene_light_indices`); pass it from OUTSIDE jit for traced scenes
+    — positions/materials may be traced, counts may not.
+    """
+    from ..render.nee import _present_kinds
+
+    shape = rng_state.shape[:-1]
+    n = int(np.prod(shape))
+    P = scene.spheres.count
+    M = scene.planes.count
+    if light_idx is None:
+        light_idx = scene_light_indices(scene)
+        assert light_idx is not None, (
+            "traced scene: pass light_idx (scene_light_indices) from "
+            "outside jit"
+        )
+    if kinds is None:
+        kinds = _present_kinds(scene)
+    has_glossy = kinds is None or BRDF_GLOSSY in kinds
+    has_diel = kinds is None or BRDF_DIELECTRIC in kinds
+    L = len(light_idx)
+
+    pos = scene.spheres.pos
+    radius = scene.spheres.radius
+    mat = scene.spheres.material
+    geom = jnp.stack(
+        [
+            pos[:, 0], pos[:, 1], pos[:, 2],
+            radius * radius,
+            jnp.sum(pos * pos, axis=-1),
+            jnp.zeros((P,), jnp.float32),
+            jnp.zeros((P,), jnp.float32),
+            jnp.zeros((P,), jnp.float32),
+        ],
+        axis=-1,
+    )  # [P, 8]
+    gatT = jnp.concatenate(
+        [
+            mat.color.T,                      # rows 0-2
+            mat.illuminance[None, :],         # 3
+            pos.T,                            # 4-6
+            mat.brdf_param[None, :],          # 7
+            mat.brdf_kind.astype(jnp.float32)[None, :],  # 8
+            jnp.zeros((7, P), jnp.float32),
+        ],
+        axis=0,
+    )  # [16, P]
+
+    if M:
+        pm = scene.planes.material
+        plane_tab = jnp.concatenate(
+            [
+                scene.planes.pos,
+                scene.planes.normal,
+                pm.color,
+                pm.illuminance[:, None],
+                pm.brdf_param[:, None],
+                pm.brdf_kind.astype(jnp.float32)[:, None],
+            ],
+            axis=-1,
+        )  # [M, 12]
+    else:
+        plane_tab = jnp.zeros((1, 12), jnp.float32)
+
+    if L:
+        li = jnp.asarray(light_idx, jnp.int32)
+        light_tab = jnp.concatenate(
+            [
+                pos[li],
+                radius[li][:, None],
+                mat.color[li] * mat.illuminance[li][:, None],
+                li[:, None].astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # [L, 8]
+    else:
+        light_tab = jnp.zeros((1, 8), jnp.float32)
+
+    blocks = -(-n // block_r)
+    pad = blocks * block_r - n
+
+    def rows(arrs):
+        flat = [a.reshape(-1) for a in arrs]
+        flat = [
+            jnp.concatenate([f, jnp.zeros((pad,), f.dtype)]) for f in flat
+        ]
+        return jnp.stack(flat, axis=0)
+
+    rays8 = rows(
+        [rays.origin[..., i] for i in range(3)]
+        + [rays.direction[..., i] for i in range(3)]
+        + [jnp.zeros(shape, jnp.float32)] * 2
+    )  # [8, N]
+    rng4 = rows([rng_state[..., i] for i in range(4)])  # [4, N] u32
+
+    kernel = functools.partial(
+        _nee_kernel,
+        spp=spp,
+        num_bounces=num_bounces,
+        num_spheres=P,
+        num_planes=M,
+        num_lights=L,
+        has_glossy=has_glossy,
+        has_diel=has_diel,
+    )
+    table_spec = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    smem_spec = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    col_spec = lambda r: pl.BlockSpec(
+        (r, block_r), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(blocks,),
+        in_specs=[
+            table_spec(geom),
+            table_spec(gatT),
+            smem_spec(plane_tab),
+            smem_spec(light_tab),
+            col_spec(8),
+            col_spec(4),
+        ],
+        out_specs=[col_spec(4), col_spec(4)],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, blocks * block_r), jnp.float32),
+            jax.ShapeDtypeStruct((4, blocks * block_r), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(geom, gatT, plane_tab, light_tab, rays8, rng4)
+
+    rad = out[0][0:3, :n].T.reshape(*shape, 3)
+    rng_out = (
+        out[1][:, :n].T.reshape(*shape, 4).astype(jnp.uint32)
+    )
+    return rad, rng_out

@@ -56,18 +56,24 @@ def render_sharded(
     russian_roulette: bool = False,
     algorithm: str = "inline",
     nee: bool = True,
+    queue_factor: float = 2.0,
 ):
     """Tile-sharded progressive render step (jit-compatible; `spp`,
     `num_bounces`, `algorithm` static).
 
-    `algorithm`: "inline" (parity megakernel) or "physical" (corrected
-    BRDFs + NEE, render/nee.py).  Both trace each device's row block
-    locally with zero collectives — NEE shadow rays stay on-chip because
-    the scene is replicated."""
+    `algorithm`: "inline" (parity megakernel), "physical" (corrected
+    BRDFs + NEE, render/nee.py), "wavefront" (queue formulation), or
+    "split" (wavefront with deterministic dielectric splitting — sharded
+    glass rendering).  All trace each device's row block locally with
+    zero collectives — the scene is replicated, so NEE shadow rays and
+    split children stay on-chip; the wavefront per-lane accumulate is
+    positional within the block."""
     full_height = acc.color.shape[0]
     n_tile = mesh.shape[TILE_AXIS]
     assert full_height % n_tile == 0, (full_height, n_tile)
     block_h = full_height // n_tile
+    if algorithm not in ("inline", "physical", "wavefront", "split"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     if algorithm == "physical":
         # Static kind set from the (usually concrete) scene before
         # shard_map traces it — enables branch elision on every shard.
@@ -90,6 +96,22 @@ def render_sharded(
                 row_offset=row0,
                 full_height=full_height,
                 kinds=kinds,
+            )
+        if algorithm == "wavefront":
+            from ..render.wavefront import render_batch_wavefront
+
+            return render_batch_wavefront(
+                scene, camera, acc_block, spp, num_bounces,
+                russian_roulette, row_offset=row0,
+                full_height=full_height,
+            )
+        if algorithm == "split":
+            from ..render.wavefront import render_batch_wavefront_split
+
+            return render_batch_wavefront_split(
+                scene, camera, acc_block, spp, num_bounces,
+                queue_factor=queue_factor, row_offset=row0,
+                full_height=full_height,
             )
         return integrator.render_batch_inline(
             scene,
@@ -120,6 +142,9 @@ def render_radiance_sharded(
     height: int,
     num_bounces: int = 4,
     spp_per_shard: int = 1,
+    backend: str = "xla",
+    has_dielectric: bool | None = None,
+    interpret: bool = False,
 ):
     """Expected radiance with tiles AND samples sharded.
 
@@ -128,6 +153,12 @@ def render_radiance_sharded(
     `spp_per_shard` samples of its block; the sample axis mean is a `psum`.
     Returns the full radiance image [height, width, 3] (tile-sharded,
     sample-replicated).
+
+    `backend="pallas"` runs each shard's fwd+bwd through the fused
+    differentiable megakernel (ops/pallas_megakernel_vjp.py) — the fast
+    path the headline bench measures; "xla" is the portable
+    rematerialized-scan path.  `interpret` runs Pallas in interpret mode
+    (CPU tests).
     """
     n_tile = mesh.shape[TILE_AXIS]
     n_sample = mesh.shape[SAMPLE_AXIS]
@@ -135,19 +166,13 @@ def render_radiance_sharded(
     block_h = height // n_tile
 
     def local(scene, camera, rng_block):
-        from ..models.camera import primary_rays
-
         row0 = jax.lax.axis_index(TILE_AXIS) * block_h
-        rng = rng_block[0]
-
-        def one(carry, _):
-            rng = carry
-            r = primary_rays(camera, width, block_h, row0, height)
-            rad, rng = integrator.trace_inline(scene, r, rng, num_bounces)
-            return rng, rad
-
-        _, rads = jax.lax.scan(one, rng, None, length=spp_per_shard)
-        local_mean = jnp.mean(rads, axis=0)
+        local_mean = G.render_radiance(
+            scene, camera, rng_block[0], width, block_h, num_bounces,
+            spp=spp_per_shard, backend=backend,
+            has_dielectric=has_dielectric, row_offset=row0,
+            full_height=height, interpret=interpret,
+        )
         return jax.lax.pmean(local_mean, SAMPLE_AXIS)
 
     return jax.shard_map(
@@ -168,6 +193,9 @@ def train_step_sharded(
     mesh: Mesh,
     num_bounces: int = 4,
     lr: float = 1e-2,
+    backend: str = "xla",
+    has_dielectric: bool | None = None,
+    interpret: bool = False,
 ):
     """One inverse-rendering SGD step with rays + grads sharded.
 
@@ -175,6 +203,12 @@ def train_step_sharded(
     replicated.  Each chip renders + differentiates its block; scene-param
     gradients `psum` over the mesh (the backward-sweep all-reduce of the
     north star).  Returns (new_params, loss) — both replicated.
+
+    `backend="pallas"` differentiates each block through the fused
+    in-VMEM fwd+bwd megakernel (ops/pallas_megakernel_vjp.py) — the same
+    kernel the headline bench measures, now under the psum all-reduce;
+    "xla" is the portable rematerialized path.  The north star's "psum
+    overlapped with the backward bounce sweep" is this combination.
     """
     full_height = target.shape[0]
     n_tile = mesh.shape[TILE_AXIS]
@@ -187,11 +221,11 @@ def train_step_sharded(
 
         def local_loss(p):
             scene = G.params_to_scene(p, template)
-            from ..models.camera import primary_rays
-
-            rays = primary_rays(camera, width, block_h, row0, full_height)
-            rad, _ = integrator.trace_inline(
-                scene, rays, rng_block, num_bounces, differentiable=True
+            rad = G.render_radiance(
+                scene, camera, rng_block, width, block_h, num_bounces,
+                spp=1, backend=backend, has_dielectric=has_dielectric,
+                row_offset=row0, full_height=full_height,
+                interpret=interpret,
             )
             return jnp.sum((rad - tgt_block) ** 2) / denom
 

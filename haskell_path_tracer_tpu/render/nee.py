@@ -176,10 +176,22 @@ def _cone_sample(center, radius, point, u1, u2):
     dc2 = linalg.quadrance(to_c)
     dc = jnp.sqrt(jnp.maximum(dc2, 1e-12))
     sin2_max = jnp.clip(radius * radius / jnp.maximum(dc2, 1e-12), 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+    # Double-where: sqrt'(0) = inf would turn the zero cotangent of a
+    # masked lane into NaN (0 * inf) in the backward sweep.  A shade
+    # point ON/INSIDE the sampled sphere (sin2_max == 1) hits this —
+    # e.g. light-sampling the emitter a lane just landed on, or the
+    # discarded cone branch of a triangle-light lane.
+    on_sphere = sin2_max >= 1.0
+    cos_max = jnp.where(
+        on_sphere,
+        0.0,
+        jnp.sqrt(jnp.where(on_sphere, 1.0, 1.0 - sin2_max)),
+    )
 
     cos_t = 1.0 - u1 * (1.0 - cos_max)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    st2 = 1.0 - cos_t * cos_t
+    st_ok = st2 > 0.0
+    sin_t = jnp.where(st_ok, jnp.sqrt(jnp.where(st_ok, st2, 1.0)), 0.0)
     phi = TWO_PI * u2
     w = to_c / dc[..., None]
     b1, b2 = _orthonormal_basis(w)
@@ -213,7 +225,17 @@ def _tri_area_sample(tris, t_idx, point, u1, u2):
     d2 = jnp.maximum(linalg.quadrance(to_q), 1e-12)
     direction = to_q / jnp.sqrt(d2)[..., None]
     cos_l = -linalg.dot(direction, n_unit)  # front face faces the point
-    inv_pdf = jnp.where(cos_l > 1e-6, area * cos_l / d2, 0.0)
+    # Self-sampling guard: a shade point ON the emitter sampling its own
+    # surface has true cos_l = 0 (coplanar), but fp noise in the hit
+    # point makes cos_l ~ eps/|to_q|, and 1/d^2 then diverges as the
+    # sampled point approaches the shade point (unbounded radiance, NaN
+    # gradients).  Samples closer than the tracer's own geometric
+    # resolution (2 * the self-intersection offset) are rejected — below
+    # that distance the surface model has no meaning anyway.
+    min_d2 = np.float32((2.0 * EPSILON) ** 2)
+    inv_pdf = jnp.where(
+        (cos_l > 1e-6) & (d2 >= min_d2), area * cos_l / d2, 0.0
+    )
     return direction, inv_pdf
 
 

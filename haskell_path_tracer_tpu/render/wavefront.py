@@ -102,6 +102,8 @@ def render_sample_wavefront(
     rr_start: int = 3,
     compact: bool = False,
     return_stats: bool = False,
+    row_offset=0,
+    full_height: int | None = None,
 ):
     """One progressive sample via the wavefront queue.
 
@@ -118,7 +120,7 @@ def render_sample_wavefront(
     height, width = acc.color.shape[:2]
     num_pixels = height * width
 
-    rays = primary_rays(camera, width, height)
+    rays = primary_rays(camera, width, height, row_offset, full_height)
     state = _QueueState(
         bounce=jnp.zeros((), jnp.int32),
         count=jnp.asarray(num_pixels, jnp.int32),
@@ -220,6 +222,8 @@ def render_sample_wavefront_split(
     num_bounces: int = 15,
     queue_factor: float = 2.0,
     return_stats: bool = False,
+    row_offset=0,
+    full_height: int | None = None,
 ):
     """One progressive sample with *deterministic dielectric ray splitting*.
 
@@ -266,7 +270,7 @@ def render_sample_wavefront_split(
     stack_depth = max(1, min(num_bounces - 1, int(round(queue_factor))))
     max_steps = num_bounces * (1 + stack_depth)
 
-    rays = primary_rays(camera, width, height)
+    rays = primary_rays(camera, width, height, row_offset, full_height)
 
     class _S(NamedTuple):
         step: jnp.ndarray  # [] i32 traversal step
@@ -446,6 +450,8 @@ def render_batch_wavefront(
     num_bounces: int = 15,
     russian_roulette: bool = False,
     return_stats: bool = False,
+    row_offset=0,
+    full_height: int | None = None,
 ):
     """`spp` wavefront samples in one dispatch (on-device sample loop).
 
@@ -459,7 +465,8 @@ def render_batch_wavefront(
             a, occ = carry
             a, stats = render_sample_wavefront(
                 scene, camera, a, num_bounces, russian_roulette,
-                return_stats=True,
+                return_stats=True, row_offset=row_offset,
+                full_height=full_height,
             )
             return a, occ + stats.occupancy
 
@@ -470,7 +477,8 @@ def render_batch_wavefront(
 
     def body(_, a):
         return render_sample_wavefront(
-            scene, camera, a, num_bounces, russian_roulette
+            scene, camera, a, num_bounces, russian_roulette,
+            row_offset=row_offset, full_height=full_height,
         )
 
     return jax.lax.fori_loop(0, spp, body, acc)
@@ -484,6 +492,8 @@ def render_batch_wavefront_split(
     num_bounces: int = 15,
     queue_factor: float = 2.0,
     return_stats: bool = False,
+    row_offset=0,
+    full_height: int | None = None,
 ):
     """`spp` deterministic-splitting samples in one dispatch.
 
@@ -498,7 +508,8 @@ def render_batch_wavefront_split(
             a, occ = carry
             a, stats = render_sample_wavefront_split(
                 scene, camera, a, num_bounces, queue_factor,
-                return_stats=True,
+                return_stats=True, row_offset=row_offset,
+                full_height=full_height,
             )
             return a, occ + stats.occupancy
 
@@ -511,7 +522,8 @@ def render_batch_wavefront_split(
 
     def body(_, a):
         return render_sample_wavefront_split(
-            scene, camera, a, num_bounces, queue_factor
+            scene, camera, a, num_bounces, queue_factor,
+            row_offset=row_offset, full_height=full_height,
         )
 
     return jax.lax.fori_loop(0, spp, body, acc)
@@ -525,6 +537,8 @@ def render_batch_split_auto(
     num_bounces: int = 15,
     queue_factor: float = 2.0,
     interpret: bool = False,
+    row_offset=0,
+    full_height: int | None = None,
 ):
     """Fastest available deterministic-splitting backend: the fused
     Pallas DFS kernel on TPU with lane-aligned widths
@@ -538,7 +552,7 @@ def render_batch_split_auto(
         from ..ops.pallas_split import trace_split_pallas
 
         height, width = acc.color.shape[:2]
-        rays = primary_rays(camera, width, height)
+        rays = primary_rays(camera, width, height, row_offset, full_height)
         radiance, rng_out = trace_split_pallas(
             scene,
             rays,
@@ -554,5 +568,6 @@ def render_batch_split_auto(
             iterations=acc.iterations + spp,
         )
     return render_batch_wavefront_split(
-        scene, camera, acc, spp, num_bounces, queue_factor
+        scene, camera, acc, spp, num_bounces, queue_factor,
+        row_offset=row_offset, full_height=full_height,
     )

@@ -270,3 +270,191 @@ def test_gradients_are_finite_everywhere():
     g = jax.grad(loss)(params)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_plane_normal_gradient_matches_fd():
+    """The plane normal is now a trainable leaf (renormalized in
+    params_to_scene); its gradient must match f64 finite differences.
+    FD here perturbs the RAW (pre-normalization) parameter, which is
+    exactly what an optimizer updates.
+
+    The camera pitches DOWN at the floor: with a level camera, horizon
+    rays graze the plane (denom ~ 0) and tilting the normal flips their
+    hit/miss decision — a visibility discontinuity whose FD artifact
+    scales as 1/eps and which detached-decision AD deliberately ignores
+    (SURVEY.md §7 "differentiate shading, not branching").  Away from
+    grazing incidence AD == FD to ~9 digits."""
+    from haskell_path_tracer_tpu.models.camera import primary_rays
+    from haskell_path_tracer_tpu.models.objects import Rays
+    from haskell_path_tracer_tpu.render.integrator import trace_inline
+
+    scene = small_scene()
+    cam = Camera.create([0.0, 0.0, 0.0], [-0.45, 0.0, 0.0], 90.0)
+    with enable_x64():
+        rng = gen_seeds((H, W), seed=7)
+        rays = primary_rays(cam, W, H)
+        rays64 = Rays(
+            origin=rays.origin.astype(jnp.float64),
+            direction=rays.direction.astype(jnp.float64),
+        )
+        base = G.scene_to_params(scene)
+        params = type(base)(
+            *[jnp.asarray(np.asarray(x, np.float64)) for x in base]
+        )
+
+        @jax.jit
+        def loss(p):
+            s = G.params_to_scene(p, scene)
+            rad, _ = trace_inline(s, rays64, rng, BOUNCES,
+                                  differentiable=True)
+            return jnp.mean(rad)
+
+        g = jax.grad(loss)(params)
+        for idx in [(0, 0), (0, 2)]:
+            fd = central_fd(loss, params, "plane_normal", idx, 1e-4)
+            ad = float(g.plane_normal[idx])
+            np.testing.assert_allclose(ad, fd, rtol=5e-3, atol=1e-9)
+        assert np.abs(np.asarray(g.plane_normal)).max() > 0
+
+
+def all_kinds_scene():
+    from haskell_path_tracer_tpu.models.objects import (
+        make_boxes,
+        make_triangles,
+    )
+
+    base = small_scene()
+    # Box overhead: the camera sees its bottom (lo.y) face and its front
+    # (hi.z) face, so BOTH corners receive gradients through the slab t
+    # (the entry face determines which corner parameterizes t_near).
+    boxes = make_boxes(
+        [[-2.0, 1.2, -12.0]],
+        [[2.0, 3.0, -4.0]],
+        make_materials([([0.9, 0.6, 0.3], 0.3, BRDF_MATTE, 1.0)]),
+    )
+    # Low-left triangle (clear of the overhead box and the spheres),
+    # winding chosen so the geometric normal points UP (+y): one-sided
+    # triangles show their front face to the camera above.
+    tris = make_triangles(
+        [[-4.0, -2.5, -4.5]],
+        [[-1.5, -2.5, -4.5]],
+        [[-2.8, -2.5, -6.5]],
+        make_materials([([1.0, 0.9, 0.8], 4.0, BRDF_MATTE, 1.0)]),
+    )
+    return Scene(
+        spheres=base.spheres, planes=base.planes, boxes=boxes,
+        triangles=tris,
+    )
+
+
+def test_box_triangle_leaves_receive_gradients():
+    """Every new SceneParams leaf (box corners, triangle vertices, their
+    materials) gets a finite gradient through image_loss, and the
+    shading-relevant ones are nonzero."""
+    scene = all_kinds_scene()
+    cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
+    rng = gen_seeds((H, W), seed=11)
+    params = G.scene_to_params(scene)
+    target = jnp.zeros((H, W, 3), jnp.float32) + 0.25
+    loss = lambda p: G.image_loss(
+        p, scene, cam, target, rng, num_bounces=BOUNCES
+    )
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+    for field in [
+        "box_lo", "box_hi", "box_color", "box_illum",
+        "tri_v0", "tri_v1", "tri_v2", "tri_color", "tri_illum",
+        "plane_normal",
+    ]:
+        assert np.abs(np.asarray(getattr(g, field))).max() > 0, field
+
+
+def test_triangle_vertex_gradient_matches_fd_through_nee():
+    """Triangle-vertex gradients through the physical/NEE estimator match
+    finite differences.  The NEE light-sampling term (A * cos_l / d^2)
+    depends smoothly and strongly on the emitter's vertices — the
+    physically meaningful vertex-gradient path (in the parity estimator a
+    uniform emitter's interior is vertex-independent; only its silhouette
+    moves, which detached-decision AD deliberately ignores)."""
+    from haskell_path_tracer_tpu.models.camera import primary_rays
+    from haskell_path_tracer_tpu.render.nee import trace_physical
+
+    scene = all_kinds_scene()
+    cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
+    rng = gen_seeds((H, W), seed=5)
+    rays = primary_rays(cam, W, H)
+    tp = G.scene_to_params(scene)
+
+    def render(p):
+        sc = G.params_to_scene(p, scene)
+        rad, _ = trace_physical(
+            sc, rays, rng, num_bounces=3, nee=True, fused=False
+        )
+        return rad
+
+    params = tp._replace(
+        tri_illum=tp.tri_illum * 0.4,
+        tri_v0=tp.tri_v0 + jnp.asarray([[0.15, 0.1, 0.15]]),
+    )
+    target = render(tp)
+    loss = lambda p: jnp.mean((render(p) - target) ** 2)
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # Every vertex component gets a nonzero, FD-matching gradient.
+    for c in range(3):
+        fd = central_fd(loss, params, "tri_v0", (0, c), 1e-3)
+        ad = float(g.tri_v0[0, c])
+        assert abs(ad) > 0
+        np.testing.assert_allclose(ad, fd, rtol=0.05, atol=1e-6)
+    # ... and the loss decreases along -grad (a genuine descent
+    # direction, not just a number).
+    l0 = float(loss(params))
+    stepped = params._replace(
+        tri_v0=params.tri_v0 - 10.0 * g.tri_v0,
+        tri_illum=params.tri_illum - 10.0 * g.tri_illum,
+    )
+    assert float(loss(stepped)) < l0
+
+
+def test_inverse_rendering_recovers_triangle_emission():
+    """Gradient descent through image_loss recovers a triangle emitter's
+    emission scale end-to-end (the triangle counterpart of
+    test_inverse_rendering_recovers_emission).
+
+    Vertex POSITIONS are differentiable (finite, FD-matching gradients —
+    see test_triangle_vertex_gradient_matches_fd_through_nee) but not
+    reliably *recoverable* by naive descent on an image loss: for a
+    uniformly emissive triangle the loss near truth is dominated by
+    silhouette terms that detached-decision AD ignores by design
+    (SURVEY.md §7), and the remaining smooth part is non-convex.
+    Recovering geometry through visibility boundaries needs
+    edge-sampling / reparameterized integrators (PAPERS.md), which this
+    framework documents as out of scope."""
+    scene = all_kinds_scene()
+    cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
+    rng = gen_seeds((H, W), seed=5)
+    true_params = G.scene_to_params(scene)
+    target = G.render_radiance(
+        G.params_to_scene(true_params, scene), cam, rng, W, H, BOUNCES
+    )
+
+    params = true_params._replace(tri_illum=true_params.tri_illum * 0.3)
+    loss = lambda p: G.image_loss(
+        p, scene, cam, target, rng, num_bounces=BOUNCES
+    )
+    l0 = float(loss(params))
+    vg = jax.jit(jax.value_and_grad(loss))
+    for _ in range(120):
+        _, g = vg(params)
+        params = params._replace(
+            tri_illum=params.tri_illum - 4.0 * g.tri_illum
+        )
+    l1 = float(loss(params))
+    assert l1 < l0 * 0.05, f"loss {l0} -> {l1}"
+    np.testing.assert_allclose(
+        np.asarray(params.tri_illum),
+        np.asarray(true_params.tri_illum),
+        rtol=0.1,
+    )

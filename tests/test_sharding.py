@@ -86,3 +86,120 @@ def test_train_step_sharded_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         )
+
+
+def test_train_step_sharded_pallas_matches_xla():
+    """The fused Pallas fwd+bwd megakernel under shard_map + psum produces
+    the same sharded gradients as the rematerialized XLA path (VERDICT r2
+    item 2: the fast gradient path must reach the distributed trainer).
+    Interpret mode stands in for the TPU on the CPU mesh."""
+    scene, cam = world.main_scene(), world.initial_camera()
+    mesh = M.make_mesh()  # 8 tiles
+    w, h = 128, 64  # Pallas kernel wants lane-aligned width
+    params = G.scene_to_params(scene)
+    rng = gen_seeds((h, w), seed=2)
+    target = jnp.zeros((h, w, 3), jnp.float32) + 0.1
+
+    out = {}
+    for backend in ("xla", "pallas"):
+        new_params, loss = train_step_sharded(
+            params, scene, cam, target, rng, mesh, num_bounces=3, lr=0.1,
+            backend=backend, interpret=True,
+        )
+        out[backend] = (new_params, float(loss))
+
+    np.testing.assert_allclose(out["xla"][1], out["pallas"][1], rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out["xla"][0]),
+        jax.tree_util.tree_leaves(out["pallas"][0]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
+        )
+
+
+def test_render_radiance_sharded_pallas_matches_xla():
+    scene, cam = world.main_scene(), world.initial_camera()
+    mesh = M.make_mesh(n_tile=4, n_sample=2)
+    w, h = 128, 32
+    rngs = jnp.stack([gen_seeds((h, w), seed=s) for s in (3, 4)])
+    imgs = {
+        b: np.asarray(
+            render_radiance_sharded(
+                scene, cam, rngs, mesh, w, h, num_bounces=3,
+                spp_per_shard=1, backend=b, interpret=True,
+            )
+        )
+        for b in ("xla", "pallas")
+    }
+    np.testing.assert_allclose(imgs["xla"], imgs["pallas"], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_wavefront_sharded_matches_single_device():
+    """`--variant streams` under a mesh (VERDICT r2 item 7): the wavefront
+    queue formulation row-shards cleanly (lane = pixel)."""
+    scene, cam = world.main_scene(), world.initial_camera()
+    mesh = M.make_mesh()
+    from haskell_path_tracer_tpu.render.wavefront import (
+        render_batch_wavefront,
+    )
+
+    acc0 = make_accumulator(W, H, seed=6)
+    ref = render_batch_wavefront(scene, cam, acc0, spp=2, num_bounces=4)
+
+    acc_sh = place_accumulator(make_accumulator(W, H, seed=6), mesh)
+    out = render_sharded(
+        scene, cam, acc_sh, spp=2, mesh=mesh, num_bounces=4,
+        algorithm="wavefront",
+    )
+    np.testing.assert_array_equal(np.asarray(ref.rng), np.asarray(out.rng))
+    np.testing.assert_allclose(
+        np.asarray(ref.color), np.asarray(out.color), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_split_sharded_matches_single_device():
+    """`--variant streams --split` under a mesh: deterministic dielectric
+    splitting per shard (glass scene)."""
+    from haskell_path_tracer_tpu.models.objects import (
+        BRDF_DIELECTRIC,
+        BRDF_MATTE,
+        Scene,
+        make_materials,
+        make_planes,
+        make_spheres,
+    )
+    from haskell_path_tracer_tpu.render.wavefront import (
+        render_batch_wavefront_split,
+    )
+
+    s = make_spheres(
+        [[0.0, 0.0, -4.0]], [1.4],
+        make_materials([([0.97, 0.98, 1.0], 0.0, BRDF_DIELECTRIC, 1.5)]),
+    )
+    p = make_planes(
+        [[0.0, 0.0, -9.0], [0.0, -3.0, 0.0]],
+        [[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]],
+        make_materials(
+            [([1.0, 0.9, 0.7], 3.0, BRDF_MATTE, 1.0),
+             ([0.5, 0.5, 0.6], 0.0, BRDF_MATTE, 1.2)]
+        ),
+    )
+    scene = Scene(spheres=s, planes=p)
+    cam = world.initial_camera()
+    mesh = M.make_mesh()
+
+    acc0 = make_accumulator(W, H, seed=8)
+    ref = render_batch_wavefront_split(
+        scene, cam, acc0, spp=1, num_bounces=5, queue_factor=2.0
+    )
+    acc_sh = place_accumulator(make_accumulator(W, H, seed=8), mesh)
+    out = render_sharded(
+        scene, cam, acc_sh, spp=1, mesh=mesh, num_bounces=5,
+        algorithm="split", queue_factor=2.0,
+    )
+    np.testing.assert_array_equal(np.asarray(ref.rng), np.asarray(out.rng))
+    np.testing.assert_allclose(
+        np.asarray(ref.color), np.asarray(out.color), rtol=1e-6, atol=1e-6
+    )
