@@ -255,21 +255,25 @@ def config4():
     scene = big_scene(1000)
     cam = Camera.create([0.0, 2.0, 0.0], [0.2, 0.0, 0.0], 90.0)
     acc = hpt.make_accumulator(w, h, seed=0)
-    # Static BRDF-kind set computed on the concrete scene OUTSIDE jit so
-    # the all-matte elision applies inside the traced step.
+    # Static facts computed on the concrete scene OUTSIDE jit: the BRDF
+    # kind set (all-matte branch elision) and the emissive-sphere index
+    # tuple (the fused NEE megakernel needs a static light count).
+    from haskell_path_tracer_tpu.ops.pallas_nee import scene_light_indices
     from haskell_path_tracer_tpu.render.nee import _present_kinds
 
     kinds = _present_kinds(scene)
-    # The full 256 spp are rendered, but as 8 pipelined 32-spp dispatches:
-    # one 256-spp XLA execution runs ~80 s, past the tunneled TPU worker's
-    # single-execution deadline (the worker is killed mid-run).  Dispatch
-    # count does not change the workload — the accumulator threads through.
+    light_idx = scene_light_indices(scene)
+    # The full 256 spp are rendered as pipelined chunked dispatches: one
+    # single-dispatch execution past ~60-80 s kills the tunneled TPU
+    # worker.  Dispatch count does not change the workload — the
+    # accumulator threads through.
     spp_chunk = 32
     assert spp % spp_chunk == 0, (spp, spp_chunk)  # _report credits w*h*spp
     n_chunks = spp // spp_chunk
     step = jax.jit(
         lambda s, c, a: hpt.render_batch_physical(
-            s, c, a, spp=spp_chunk, num_bounces=b, nee=True, kinds=kinds
+            s, c, a, spp=spp_chunk, num_bounces=b, nee=True, kinds=kinds,
+            light_idx=light_idx,
         )
     )
 

@@ -11,27 +11,28 @@ gather, cosine/specular BRDF sampling, cone light sampling, the dual
 bookkeeping — for ALL samples and ALL bounces of a dispatch, so a ray
 block's state never leaves VMEM.
 
-Layout ("flat-R"): per-lane state lives in [1, R] lane-major rows and
-the pairwise ray x sphere work in [P, R] matrices built by VPU broadcast
-arithmetic (cx [P,1] against ox [1,R]).  Measured on v5e at
-1M rays x 1024 spheres this fold formulation runs at 106.9 Gpairs/s —
-above the round-2 scalar-SMEM fold (91.6) — because the per-sphere loop
-disappears into full-width vector ops; MXU matmul variants measured
-SLOWER (84.7 G at K=8) since the dot reconstruction still pays the same
-elementwise tail.  The one matmul kept is the per-bounce one-hot payload
-gather ([10, P] @ [P, R] at HIGHEST precision — exact for one-hot
-operands), which replaces the 2M-index XLA gathers that dominated the
-round-2 glue.
+Layout: per-lane state lives in [8, R] tiles (8 independent ray groups
+in the sublane dim, so per-lane "glue" math runs at full VPU tile
+utilization) and the pairwise ray x sphere work in [P, R] matrices —
+one per sublane group — built by VPU broadcast arithmetic (cx [P,1]
+against a [1,R] group row).  Measured on v5e at
+1M rays x 1024 spheres the dual fold runs at 97.1 Gpairs/s in the exact
+(c - o) form used here — above the round-2 scalar-SMEM fold (91.6) —
+because the per-sphere loop disappears into full-width vector ops.
+Rejected variants, measured: hoisted |c|^2 - 2c.o + |o|^2 saves 13
+ops/pair (106.9 G) but its cancellation error (~1e-3 absolute) flips
+accept decisions on near-tangent rays and shifts hit points past the
+EPSILON offset; MXU matmul dots (84.7 G at K=8) lose outright since the
+reconstruction still pays the same elementwise tail.  The one matmul
+kept is the per-bounce one-hot payload gather ([16, P] @ [P, R] at
+HIGHEST precision — exact for one-hot operands), which replaces the
+2M-index XLA gathers that dominated the round-2 glue.
 
 Estimator semantics mirror `render/nee.py:_trace_physical_fused` (same
 RNG draw order, same light selection rank rule, same emission rule,
-same accept/reject sets).  Arithmetic NOTE: the fold expands
-|c - o|^2 = |c|^2 - 2 c.o + |o|^2 (hoisting |c|^2 per sphere), which
-differs from the XLA path's (c - o) form by ~1e-4 absolute — accept
-decisions can flip on exactly-tangent rays (measure-zero; both are
-valid unbiased estimators of microscopically different spheres).  Tests
-therefore assert per-lane equality on >99.9% of lanes and tight
-agreement of the estimator mean, not bit equality.
+same accept/reject sets and f32 op order in the fold) — the tests
+assert lane-for-lane radiance agreement with bit-equal RNG states
+against `trace_physical(fused=False)`.
 
 Reference parity anchors: BRDF weights are the *corrected* physical
 ones (render/nee.py module docstring), not the reference's admittedly
@@ -183,75 +184,115 @@ def _plane_t(ox, oy, oz, dx, dy, dz, prow, reject_below):
 
 
 def _nee_kernel(
-    geom_ref,    # VMEM [P, 8] f32: cx, cy, cz, r2, cc, 0, 0, 0
-    gat_ref,     # VMEM [16, P] f32: cr cg cb il cx cy cz param kind 0...
+    geom_ref,    # SMEM [P, 4] f32: cx, cy, cz, r2
+    gat_ref,     # VMEM [16, P] f32: cr cg cb il cx cy cz param kind rad 0..
     plane_ref,   # SMEM [M?, 12] f32: px py pz nx ny nz cr cg cb il param kind
     light_ref,   # SMEM [L?, 8] f32: lx ly lz radius er eg eb gidx
-    rays_ref,    # VMEM [8, R] f32: ox oy oz dx dy dz 0 0
-    rng_ref,     # VMEM [4, R] u32
-    rad_ref,     # out VMEM [4, R] f32 (row 3 zero)
-    rng_out_ref, # out VMEM [4, R] u32
+    ox_ref, oy_ref, oz_ref,   # VMEM [8, R] f32 primary ray origins
+    dx_ref, dy_ref, dz_ref,   # VMEM [8, R] f32 primary ray directions
+    ra_ref, rb_ref, rc_ref, rctr_ref,  # VMEM [8, R] u32 SFC32 state
+    rad_r_ref, rad_g_ref, rad_b_ref,   # out VMEM [8, R] f32
+    ora_ref, orb_ref, orc_ref, orctr_ref,  # out VMEM [8, R] u32
     *,
     spp, num_bounces, num_spheres, num_planes, num_lights,
-    has_glossy, has_diel,
+    has_glossy, has_diel, block_skip=True,
 ):
+    """Per-lane state is [8, R]: 8 independent ray groups in the SUBLANE
+    dim so every glue op runs at full (8, 128) VPU tile utilization (a
+    [1, R] formulation measured 3x slower end-to-end — glue rows used
+    1/8 of the VPU).  The pairwise [P, R] fold runs once per sublane
+    group (free row slices, results re-stacked by sublane concat); total
+    pair count is unchanged."""
     P = num_spheres
-    R = rays_ref.shape[1]
-    rays = rays_ref[:, :]
-    pox, poy, poz = rays[0:1], rays[1:2], rays[2:3]
-    pdx, pdy, pdz = rays[3:4], rays[4:5], rays[5:6]
-    rng0 = rng_ref[:, :]
+    R = ox_ref.shape[1]
+    pox, poy, poz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
+    pdx, pdy, pdz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
 
-    geom = geom_ref[:, :]
-    gcx = geom[:, 0:1]  # [P, 1] columns broadcast against [1, R] rows
-    gcy = geom[:, 1:2]
-    gcz = geom[:, 2:3]
-    gr2 = geom[:, 3:4]
-    gcc = geom[:, 4:5]
     gatT = gat_ref[:, :]  # [16, P]
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, R), 0)
 
-    def sphere_pair_terms(ox, oy, oz):
-        """Shared per-(sphere, lane) terms from a query point: c.o and
-        |c - o|^2 via the hoisted-|c|^2 expansion."""
-        oo = _dot3(ox, oy, oz, ox, oy, oz)  # [1, R]
-        co = gcx * ox + gcy * oy + gcz * oz  # [P, R]
-        ll = gcc - 2.0 * co + oo
-        return ll
-
-    def sphere_nearest(ll, ox, oy, oz, dx, dy, dz, eps):
-        """(t, prim) of the nearest sphere: accept tca>=eps, h>=0,
-        t>=eps (== the reference rules at an eps-shifted origin)."""
-        od = _dot3(ox, oy, oz, dx, dy, dz)
-        tca = (gcx * dx + gcy * dy + gcz * dz) - od
-        h = gr2 - (ll - tca * tca)
-        thc = jnp.sqrt(jnp.maximum(h, 0.0))
-        t = tca - thc
-        ok = (tca >= eps) & (h >= 0.0) & (t >= eps)
-        t_sel = jnp.where(ok, t, INFINITE)
-        best_t = jnp.min(t_sel, axis=0, keepdims=True)  # [1, R]
-        best_p = jnp.min(
-            jnp.where(t_sel == best_t, iota_p, P), axis=0, keepdims=True
+    def per_group(fn, *args, n_out=1):
+        """Run `fn` on each [1, R] sublane row of the [8, R] args and
+        re-stack each output along sublanes (used only by the payload
+        gather, whose one-hot contraction needs a [P, R] matrix)."""
+        outs = [fn(*[a[g : g + 1] for a in args]) for g in range(8)]
+        if n_out == 1:
+            return jnp.concatenate(outs, axis=0)
+        return tuple(
+            jnp.concatenate([o[i] for o in outs], axis=0)
+            for i in range(n_out)
         )
-        best_p = jnp.minimum(best_p, P - 1)  # miss lanes: clamp, t=INF marks
-        return best_t, best_p
 
-    def sphere_shadow(ll, ox, oy, oz, bx, by, bz, t_l, l_idx):
-        """Occlusion: any sphere (except l_idx) hit in [eps, t_l) along
-        (bx,by,bz) — sqrt-free (pallas_intersect.py:_dual_fold_kernel)."""
-        ob = _dot3(ox, oy, oz, bx, by, bz)
-        tca2 = (gcx * bx + gcy * by + gcz * bz) - ob
-        h2 = gr2 - (ll - tca2 * tca2)
-        a1 = tca2 - EPSILON
-        a2 = tca2 - t_l
-        occ_p = (
-            (h2 >= 0.0)
-            & (a1 >= 0.0)
-            & (a1 * a1 >= h2)
-            & ((a2 < 0.0) | (a2 * a2 < h2))
-            & (iota_p != l_idx)
+    def scalar_dual_fold(
+        ox, oy, oz, dx, dy, dz, eps, bx=None, by=None, bz=None,
+        t_l=None, lgi=None, unroll=8,
+    ):
+        """The sphere fold as a register-resident scalar-SMEM loop: the
+        [8, R] carries stay in vregs while sphere columns stream from
+        SMEM — the round-2 dual kernel's formulation
+        (ops/pallas_intersect.py:_dual_fold_kernel, measured 91.6
+        Gpairs/s).  A [P, R]-broadcast formulation measured ~3.5x slower
+        in situ: every fold op streams 500-vreg [1000, 512] tiles
+        through VMEM instead of staying in registers.
+
+        BSDF side: accept tca>=eps, h>=0, t>=eps (reference rules at an
+        eps-shifted origin; exact same f32 values as the XLA path).
+        Shadow side (when bx is not None): sqrt-free any-hit in
+        [EPSILON, t_l) excluding sphere `lgi`.
+        """
+        do_shadow = bx is not None
+        shape = ox.shape
+
+        def one(p, carry):
+            best_t, best_p, occ = carry
+            cx = geom_ref[p, 0]
+            cy = geom_ref[p, 1]
+            cz = geom_ref[p, 2]
+            r2 = geom_ref[p, 3]
+            lx, ly, lz = cx - ox, cy - oy, cz - oz
+            ll = lx * lx + ly * ly + lz * lz
+            tca = lx * dx + ly * dy + lz * dz
+            h = r2 - (ll - tca * tca)
+            thc = jnp.sqrt(jnp.maximum(h, 0.0))
+            t = tca - thc
+            # (tca >= eps) is implied: t >= eps with thc >= 0 forces
+            # tca = t + thc >= eps — one fewer compare per pair.
+            ok = (h >= 0.0) & (t >= eps) & (t < best_t)
+            best_t = jnp.where(ok, t, best_t)
+            best_p = jnp.where(ok, p, best_p)
+            if do_shadow:
+                tca2 = lx * bx + ly * by + lz * bz
+                h2 = r2 - (ll - tca2 * tca2)
+                a1 = tca2 - EPSILON
+                a2 = tca2 - t_l
+                occ_p = (
+                    (h2 >= 0.0)
+                    & (a1 >= 0.0)
+                    & (a1 * a1 >= h2)
+                    & ((a2 < 0.0) | (a2 * a2 < h2))
+                    & (p != lgi)
+                )
+                occ = occ | occ_p.astype(jnp.int32)
+            return best_t, best_p, occ
+
+        init = (
+            jnp.full(shape, INFINITE, jnp.float32),
+            jnp.zeros(shape, jnp.int32),
+            jnp.zeros(shape, jnp.int32),
         )
-        return jnp.any(occ_p, axis=0, keepdims=True)
+        n_main = P // unroll * unroll
+
+        def body(i, c):
+            p0 = i * unroll
+            for k in range(unroll):
+                c = one(p0 + k, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, n_main // unroll, body, init)
+        for p in range(n_main, P):
+            carry = one(p, carry)
+        best_t, best_p, occ = carry
+        return best_t, jnp.minimum(best_p, P - 1), occ
 
     def merge_planes(t, prim, ox, oy, oz, dx, dy, dz, reject_below):
         """Fold planes into the sphere-best; strict < keeps the sphere on
@@ -264,22 +305,46 @@ def _nee_kernel(
             prim = jnp.where(better, P + j, prim)
         return t, prim
 
-    def payload(t, prim):
+    def payload(t, prim, ox, oy, oz, dx, dy, dz):
         """Hit payload: one-hot MXU gather for spheres (exact at HIGHEST
-        precision), unrolled SMEM selects for planes."""
+        precision), unrolled SMEM selects for planes.
+
+        Also RE-DERIVES the winner's t in the exact (c - o) form: the
+        fold's hoisted-|c|^2 expansion only RANKS candidates (its ~1e-4
+        relative t error would shift hit points past the EPSILON
+        self-offset on large scenes); one exact per-lane recompute from
+        the gathered center/radius is O(R) — free against the O(P*R)
+        fold — and restores hit-point accuracy to f32 (the same op
+        order as ops/intersect.py:sphere_distances)."""
         hit = t < INFINITE
-        onehot = ((iota_p == prim) & hit).astype(jnp.float32)  # [P, R]
-        g = jax.lax.dot_general(
-            gatT, onehot, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # [16, R]
-        cr, cg, cb = g[0:1], g[1:2], g[2:3]
-        il = g[3:4]
-        ax, ay, az = g[4:5], g[5:6], g[6:7]  # sphere center
-        param = g[7:8]
-        kind = g[8:9]
+
+        def gather_g(prim_, hit_):
+            onehot = ((iota_p == prim_) & hit_).astype(jnp.float32)
+            g = jax.lax.dot_general(
+                gatT, onehot, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [16, R]
+            return tuple(g[v : v + 1] for v in range(10))
+
+        (cr, cg, cb, il, ax, ay, az, param, kind, srad) = per_group(
+            gather_g, prim, hit, n_out=10
+        )
         is_plane = prim >= P
+        is_sphere_hit = hit & ~is_plane
+        lx, ly, lz = ax - ox, ay - oy, az - oz
+        tca_e = _dot3(lx, ly, lz, dx, dy, dz)
+        d2_e = _dot3(lx, ly, lz, lx, ly, lz) - tca_e * tca_e
+        r2_e = srad * srad
+        outside = d2_e > r2_e
+        thc_e = jnp.where(
+            outside,
+            0.0,
+            jnp.sqrt(
+                jnp.where(outside, 1.0, jnp.maximum(r2_e - d2_e, 1e-12))
+            ),
+        )
+        t = jnp.where(is_sphere_hit, tca_e - thc_e, t)
         for j in range(num_planes):
             m = prim == P + j
             cr = jnp.where(m, plane_ref[j, 6], cr)
@@ -291,39 +356,44 @@ def _nee_kernel(
             ax = jnp.where(m, plane_ref[j, 3], ax)
             ay = jnp.where(m, plane_ref[j, 4], ay)
             az = jnp.where(m, plane_ref[j, 5], az)
-        return hit, is_plane, cr, cg, cb, il, param, kind, ax, ay, az
+        return t, hit, is_plane, cr, cg, cb, il, param, kind, ax, ay, az
 
     def one_sample(carry):
         ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
         # Primary hit from the camera: eps = 0 acceptance (nearest_hit).
-        ll0 = sphere_pair_terms(pox, poy, poz)
-        t, prim = sphere_nearest(ll0, pox, poy, poz, pdx, pdy, pdz, 0.0)
+        t, prim, _ = scalar_dual_fold(
+            pox, poy, poz, pdx, pdy, pdz, np.float32(0.0)
+        )
         t, prim = merge_planes(t, prim, pox, poy, poz, pdx, pdy, pdz, 0.0)
 
         state = (
             pox, poy, poz, pdx, pdy, pdz, t, prim,
             ra, rb, rc, rctr,
-            jnp.zeros((1, R), jnp.float32),  # result r
-            jnp.zeros((1, R), jnp.float32),
-            jnp.zeros((1, R), jnp.float32),
-            jnp.ones((1, R), jnp.float32),   # throughput r
-            jnp.ones((1, R), jnp.float32),
-            jnp.ones((1, R), jnp.float32),
-            jnp.ones((1, R), jnp.int32),     # prev_spec
+            jnp.zeros((8, R), jnp.float32),  # result r
+            jnp.zeros((8, R), jnp.float32),
+            jnp.zeros((8, R), jnp.float32),
+            jnp.ones((8, R), jnp.float32),   # throughput r
+            jnp.ones((8, R), jnp.float32),
+            jnp.ones((8, R), jnp.float32),
+            jnp.ones((8, R), jnp.int32),     # prev_spec
         )
 
         def bounce(_, st):
             (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
              res_r, res_g, res_b, th_r, th_g, th_b, prev_spec) = st
 
-            (hit, is_plane, cr, cg, cb, il, param, kind,
-             ax, ay, az) = payload(t, prim)
+            hit = t < INFINITE
             q = th_r * th_r + th_g * th_g + th_b * th_b
             dead = (q <= NEAR_ZERO_EPS) | ~hit
 
             def live_body(operands):
                 (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
                  res_r, res_g, res_b, th_r, th_g, th_b, prev_spec) = operands
+
+                # Payload gather runs inside the alive-skip: fully dead
+                # blocks pay neither the one-hot contraction nor glue.
+                (t, _, is_plane, cr, cg, cb, il, param, kind,
+                 ax, ay, az) = payload(t, prim, ox, oy, oz, dx, dy, dz)
 
                 # Hit point + normal (sphere: normalize(point - center);
                 # plane: stored normal) — ops/intersect.py:hit_from_t_prim.
@@ -350,7 +420,7 @@ def _nee_kernel(
                     (ra, rb, rc, rctr)
                 )
                 ndx, ndy, ndz = _cosine_hemisphere(nx, ny, nz, u1, u2)
-                is_spec = jnp.zeros((1, R), jnp.bool_)
+                is_spec = jnp.zeros((8, R), jnp.bool_)
                 if has_glossy:
                     ia = _dot3(dx, dy, dz, nx, ny, nz)
                     gx = dx - 2.0 * ia * nx
@@ -417,14 +487,15 @@ def _nee_kernel(
                         0.0,
                         np.float32(num_lights - 1),
                     ).astype(jnp.int32)
-                    lx = jnp.zeros((1, R), jnp.float32)
-                    ly = jnp.zeros((1, R), jnp.float32)
-                    lz = jnp.zeros((1, R), jnp.float32)
-                    lrad = jnp.zeros((1, R), jnp.float32)
-                    ler = jnp.zeros((1, R), jnp.float32)
-                    leg = jnp.zeros((1, R), jnp.float32)
-                    leb = jnp.zeros((1, R), jnp.float32)
-                    lgi = jnp.zeros((1, R), jnp.int32)
+                    lx = jnp.zeros((8, R), jnp.float32)
+                    ly = jnp.zeros((8, R), jnp.float32)
+                    lz = jnp.zeros((8, R), jnp.float32)
+                    lrad = jnp.zeros((8, R), jnp.float32)
+                    ler = jnp.zeros((8, R), jnp.float32)
+                    leg = jnp.zeros((8, R), jnp.float32)
+                    leb = jnp.zeros((8, R), jnp.float32)
+                    # global index rides the table as f32 (exact < 2^24)
+                    lgif = jnp.zeros((8, R), jnp.float32)
                     for j in range(num_lights):
                         m = k == j
                         lx = jnp.where(m, light_ref[j, 0], lx)
@@ -434,13 +505,7 @@ def _nee_kernel(
                         ler = jnp.where(m, light_ref[j, 4], ler)
                         leg = jnp.where(m, light_ref[j, 5], leg)
                         leb = jnp.where(m, light_ref[j, 6], leb)
-                        lgi = jnp.where(
-                            m, jnp.int32(int(j)), lgi
-                        )  # placeholder; real gidx below
-                    # global index rides the table as f32 (exact < 2^24)
-                    lgif = jnp.zeros((1, R), jnp.float32)
-                    for j in range(num_lights):
-                        lgif = jnp.where(k == j, light_ref[j, 7], lgif)
+                        lgif = jnp.where(m, light_ref[j, 7], lgif)
                     lgi = lgif.astype(jnp.int32)
                     bx, by, bz, solid_angle = _cone_sample(
                         lx, ly, lz, lrad, hx, hy, hz, us1, us2
@@ -454,28 +519,35 @@ def _nee_kernel(
                         hx, hy, hz, bx, by, bz, lx, ly, lz, lrad
                     )
                 else:
-                    bx = by = bz = jnp.zeros((1, R), jnp.float32)
-                    t_l = jnp.full((1, R), INFINITE)
-                    inv_pdf = jnp.zeros((1, R), jnp.float32)
-                    lgi = jnp.full((1, R), -1, jnp.int32)
-                    ler = leg = leb = jnp.zeros((1, R), jnp.float32)
+                    bx = by = bz = jnp.zeros((8, R), jnp.float32)
+                    t_l = jnp.full((8, R), INFINITE)
+                    inv_pdf = jnp.zeros((8, R), jnp.float32)
+                    lgi = jnp.full((8, R), -1, jnp.int32)
+                    ler = leg = leb = jnp.zeros((8, R), jnp.float32)
 
-                # The dual fold: one pass of shared |c - o|^2 terms
-                # answers next-BSDF nearest AND shadow occlusion.
-                ll = sphere_pair_terms(hx, hy, hz)
-                t2, prim2 = sphere_nearest(
-                    ll, hx, hy, hz, ndx, ndy, ndz, EPSILON
-                )
+                # The dual fold: one register-resident pass over
+                # the sphere table answers next-BSDF nearest AND shadow
+                # occlusion (shared l vector per sphere).
+                if num_lights:
+                    t2, prim2, occ = scalar_dual_fold(
+                        hx, hy, hz, ndx, ndy, ndz, EPSILON,
+                        bx, by, bz, t_l, lgi,
+                    )
+                else:
+                    t2, prim2, _ = scalar_dual_fold(
+                        hx, hy, hz, ndx, ndy, ndz, EPSILON
+                    )
                 t2, prim2 = merge_planes(
                     t2, prim2, hx, hy, hz, ndx, ndy, ndz, EPSILON
                 )
                 if num_lights:
-                    occ = sphere_shadow(ll, hx, hy, hz, bx, by, bz, t_l, lgi)
                     for j in range(num_planes):
                         prow = [plane_ref[j, kk] for kk in range(6)]
                         pd = _plane_t(hx, hy, hz, bx, by, bz, prow, 0.0)
-                        occ = occ | ((pd >= EPSILON) & (pd < t_l))
-                    visible = ~occ & (t_l < INFINITE)
+                        occ = occ | (
+                            (pd >= EPSILON) & (pd < t_l)
+                        ).astype(jnp.int32)
+                    visible = (occ == 0) & (t_l < INFINITE)
                     cos_i = _dot3(bx, by, bz, nx, ny, nz)
                     is_matte = kind == np.float32(BRDF_MATTE)
                     w = visible & is_matte & (cos_i > 0.0)
@@ -497,10 +569,13 @@ def _nee_kernel(
             # Whole-bounce block skip: a block whose lanes are all dead
             # (sky tiles after bounce 0) skips fold AND glue; dead lanes
             # draw no RNG in either formulation, so this is exact.
-            alive_any = jnp.any(~dead)
-            new = jax.lax.cond(
-                alive_any, live_body, lambda op: op, operands
-            )
+            if block_skip:
+                alive_any = jnp.any(~dead)
+                new = jax.lax.cond(
+                    alive_any, live_body, lambda op: op, operands
+                )
+            else:
+                new = live_body(operands)
             (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_t, n_prim,
              n_ra, n_rb, n_rc, n_rctr, n_rr, n_rg, n_rbl,
              n_thr, n_thg, n_thb, n_ps) = new
@@ -525,16 +600,22 @@ def _nee_kernel(
         return (ra, rb, rc, rctr,
                 acc_r + res_r, acc_g + res_g, acc_b + res_b)
 
-    zero = jnp.zeros((1, R), jnp.float32)
-    carry = (rng0[0:1], rng0[1:2], rng0[2:3], rng0[3:4], zero, zero, zero)
+    zero = jnp.zeros((8, R), jnp.float32)
+    carry = (
+        ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :],
+        zero, zero, zero,
+    )
     carry = jax.lax.fori_loop(
         0, spp, lambda _, c: one_sample(c), carry
     )
     ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
-    rad_ref[:, :] = jnp.concatenate(
-        [acc_r, acc_g, acc_b, jnp.zeros((1, R), jnp.float32)], axis=0
-    )
-    rng_out_ref[:, :] = jnp.concatenate([ra, rb, rc, rctr], axis=0)
+    rad_r_ref[:, :] = acc_r
+    rad_g_ref[:, :] = acc_g
+    rad_b_ref[:, :] = acc_b
+    ora_ref[:, :] = ra
+    orb_ref[:, :] = rb
+    orc_ref[:, :] = rc
+    orctr_ref[:, :] = rctr
 
 
 def scene_light_indices(scene: Scene):
@@ -545,6 +626,10 @@ def scene_light_indices(scene: Scene):
     if isinstance(il, jax.core.Tracer):
         return None
     return tuple(int(i) for i in np.nonzero(np.asarray(il) > 0.0)[0])
+
+
+def supported_backend(backend: str | None = None) -> bool:
+    return (backend or jax.default_backend()) == "tpu"
 
 
 def nee_pallas_eligible(scene: Scene, backend: str | None = None) -> bool:
@@ -571,6 +656,7 @@ def trace_physical_nee_pallas(
     kinds=None,
     block_r: int = DEFAULT_BLOCK_R,
     interpret: bool = False,
+    block_skip: bool = True,
 ):
     """Fused physical/NEE trace: (radiance_sum over `spp` samples
     [H, W, 3], final rng [H, W, 4]).
@@ -603,16 +689,8 @@ def trace_physical_nee_pallas(
     radius = scene.spheres.radius
     mat = scene.spheres.material
     geom = jnp.stack(
-        [
-            pos[:, 0], pos[:, 1], pos[:, 2],
-            radius * radius,
-            jnp.sum(pos * pos, axis=-1),
-            jnp.zeros((P,), jnp.float32),
-            jnp.zeros((P,), jnp.float32),
-            jnp.zeros((P,), jnp.float32),
-        ],
-        axis=-1,
-    )  # [P, 8]
+        [pos[:, 0], pos[:, 1], pos[:, 2], radius * radius], axis=-1
+    )  # [P, 4] — streamed from SMEM by the scalar fold
     gatT = jnp.concatenate(
         [
             mat.color.T,                      # rows 0-2
@@ -620,7 +698,8 @@ def trace_physical_nee_pallas(
             pos.T,                            # 4-6
             mat.brdf_param[None, :],          # 7
             mat.brdf_kind.astype(jnp.float32)[None, :],  # 8
-            jnp.zeros((7, P), jnp.float32),
+            radius[None, :],                  # 9 (exact winner-t recompute)
+            jnp.zeros((6, P), jnp.float32),
         ],
         axis=0,
     )  # [16, P]
@@ -655,22 +734,23 @@ def trace_physical_nee_pallas(
     else:
         light_tab = jnp.zeros((1, 8), jnp.float32)
 
-    blocks = -(-n // block_r)
-    pad = blocks * block_r - n
+    # Rays are laid out [8, N/8]: 8 sublane groups x lane columns; a
+    # grid block is a column slice (8, block_r) = 8 * block_r rays.
+    blocks = -(-n // (8 * block_r))
+    pad_n = blocks * 8 * block_r
+    pad = pad_n - n
+    cols = pad_n // 8
 
-    def rows(arrs):
-        flat = [a.reshape(-1) for a in arrs]
-        flat = [
-            jnp.concatenate([f, jnp.zeros((pad,), f.dtype)]) for f in flat
-        ]
-        return jnp.stack(flat, axis=0)
+    def plane2d(a):
+        f = a.reshape(-1)
+        f = jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
+        return f.reshape(8, cols)
 
-    rays8 = rows(
-        [rays.origin[..., i] for i in range(3)]
-        + [rays.direction[..., i] for i in range(3)]
-        + [jnp.zeros(shape, jnp.float32)] * 2
-    )  # [8, N]
-    rng4 = rows([rng_state[..., i] for i in range(4)])  # [4, N] u32
+    comp_ins = (
+        [plane2d(rays.origin[..., i]) for i in range(3)]
+        + [plane2d(rays.direction[..., i]) for i in range(3)]
+        + [plane2d(rng_state[..., i]) for i in range(4)]
+    )
 
     kernel = functools.partial(
         _nee_kernel,
@@ -681,6 +761,7 @@ def trace_physical_nee_pallas(
         num_lights=L,
         has_glossy=has_glossy,
         has_diel=has_diel,
+        block_skip=block_skip,
     )
     table_spec = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -688,30 +769,41 @@ def trace_physical_nee_pallas(
     smem_spec = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
     )
-    col_spec = lambda r: pl.BlockSpec(
-        (r, block_r), lambda i: (0, i), memory_space=pltpu.VMEM
+    col_spec = pl.BlockSpec(
+        (8, block_r), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
         grid=(blocks,),
         in_specs=[
-            table_spec(geom),
+            smem_spec(geom),
             table_spec(gatT),
             smem_spec(plane_tab),
             smem_spec(light_tab),
-            col_spec(8),
-            col_spec(4),
-        ],
-        out_specs=[col_spec(4), col_spec(4)],
-        out_shape=[
-            jax.ShapeDtypeStruct((4, blocks * block_r), jnp.float32),
-            jax.ShapeDtypeStruct((4, blocks * block_r), jnp.uint32),
-        ],
+        ]
+        + [col_spec] * 10,
+        out_specs=[col_spec] * 7,
+        out_shape=(
+            [jax.ShapeDtypeStruct((8, cols), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((8, cols), jnp.uint32)] * 4
+        ),
+        # Large-P folds keep ~6 [P, R] f32 intermediates live (l vector,
+        # |l|^2, fold temporaries, one-hot) — ~26 MB at P=1000, R=512,
+        # past the compiler's default 16 MB scoped-vmem cap but well
+        # inside the chip's physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(geom, gatT, plane_tab, light_tab, rays8, rng4)
+    )(geom, gatT, plane_tab, light_tab, *comp_ins)
 
-    rad = out[0][0:3, :n].T.reshape(*shape, 3)
-    rng_out = (
-        out[1][:, :n].T.reshape(*shape, 4).astype(jnp.uint32)
+    def unflat(a):
+        return a.reshape(-1)[:n]
+
+    rad = jnp.stack([unflat(out[i]) for i in range(3)], axis=-1).reshape(
+        *shape, 3
     )
+    rng_out = jnp.stack(
+        [unflat(out[3 + i]) for i in range(4)], axis=-1
+    ).reshape(*shape, 4)
     return rad, rng_out

@@ -775,8 +775,45 @@ def render_batch_physical(
     row_offset=0,
     full_height: int | None = None,
     kinds=None,
+    light_idx=None,
+    fused: bool | None = None,
 ) -> Accumulator:
-    """`spp` physical/NEE samples in one on-device dispatch."""
+    """`spp` physical/NEE samples in one on-device dispatch.
+
+    On TPU, sphere+plane NEE scenes route through the fused Pallas
+    megakernel (ops/pallas_nee.py): the whole spp x bounces loop —
+    nearest-hit folds, shadow occlusion, BRDF + light sampling, payload
+    gathers — runs in VMEM.  `light_idx` is the STATIC emissive-sphere
+    index tuple (`ops.pallas_nee.scene_light_indices`); pass it from
+    outside jit when the scene is traced (otherwise a traced scene falls
+    back to the XLA sample loop).  `fused=True/False` forces the choice.
+    """
+    from ..ops import pallas_nee as PN
+
+    if fused is None:
+        fused = (
+            nee
+            and PN.supported_backend()
+            and not scene.boxes.count
+            and not scene.triangles.count
+            and 0 < scene.spheres.count < (1 << 24)
+            and (
+                light_idx is not None
+                or PN.scene_light_indices(scene) is not None
+            )
+        )
+    if fused:
+        height, width = acc.color.shape[:2]
+        rays = primary_rays(camera, width, height, row_offset, full_height)
+        rad, rng_out = PN.trace_physical_nee_pallas(
+            scene, rays, acc.rng, num_bounces=num_bounces, spp=spp,
+            light_idx=light_idx, kinds=kinds,
+        )
+        return Accumulator(
+            color=acc.color + rad,
+            rng=rng_out,
+            iterations=acc.iterations + spp,
+        )
 
     def body(_, a):
         return render_sample_physical(
