@@ -181,9 +181,14 @@ def _nearest_hit_np(o, d, S):
     point = o + d * np.where(hit, t, F(0))[..., None]
     is_sphere = prim < ns
     s_idx = np.minimum(prim, ns - 1)
-    p_idx = np.clip(prim - ns, 0, S["p_nor"].shape[0] - 1)
     sn = _normalize(point - S["s_pos"][s_idx])
-    normal = np.where(is_sphere[..., None], sn, S["p_nor"][p_idx])
+    if S["p_nor"].shape[0]:
+        p_idx = np.clip(prim - ns, 0, S["p_nor"].shape[0] - 1)
+        normal = np.where(is_sphere[..., None], sn, S["p_nor"][p_idx])
+    else:
+        # Plane-free scene: every hit is a sphere (found by the
+        # three-way differential fuzzer — an empty p_nor was indexed).
+        normal = sn
     return {
         "t": t,
         "hit": hit,
