@@ -49,6 +49,23 @@ def _timeit(fn, n=3):
     return min(times)
 
 
+def _pipeline(step, state, k, n=2):
+    """ONE timing methodology for every config (VERDICT r2 item 4): a
+    chain of `k` dependent dispatches timed end to end (the production
+    dispatch pattern — renderers and trainers enqueue without blocking),
+    plus the single-dispatch round-trip latency reported alongside.
+    Returns (dt_single, dt_chain)."""
+
+    def chained(s):
+        for _ in range(k):
+            s = step(s)
+        return s
+
+    dt1 = _timeit(lambda: step(state), n=n)
+    dtk = _timeit(lambda: chained(state), n=n)
+    return dt1, dtk
+
+
 def _report(config, name, rays, seconds, extra=None):
     rec = {
         "config": config,
@@ -186,23 +203,11 @@ def config1():
             s, c, a, spp=spp, num_bounces=b, has_dielectric=False
         )
     )
-    # This config is dispatch-latency bound (0.5M ray segments is ~0.2 ms
-    # of device work behind a multi-ms host->device launch), so measure it
-    # the way the app actually runs (render/renderer.py batching loop,
-    # Main.hs:204-211): a pipeline of dependent dispatches in flight, timed
-    # end to end.  Single-dispatch round-trip latency is reported alongside.
-    k = 16
-
-    def chained(s, c, a):
-        for _ in range(k):
-            a = step(s, c, a)
-        return a
-
-    dt1 = _timeit(lambda: step(scene, cam, acc))
-    dtk = _timeit(lambda: chained(scene, cam, acc))
+    k = 16  # dispatch-latency-bound config: deep pipeline amortizes it
+    dt1, dtk = _pipeline(lambda a: step(scene, cam, a), acc, k, n=3)
     _report(
         1, "parity_256x256x4sppx2b_auto", w * h * spp * b * k, dtk,
-        {"note": f"{k} pipelined dispatches; single-dispatch {dt1 * 1e3:.2f} ms"},
+        {"pipeline": k, "single_ms": round(dt1 * 1e3, 2)},
     )
 
 
@@ -221,8 +226,12 @@ def config2():
             s, c, a, spp=spp, num_bounces=b, has_dielectric=hd
         )
     )
-    dt = _timeit(lambda: step(scene, cam, acc))
-    _report(2, "cornell8_512x512x16sppx4b_auto", w * h * spp * b, dt)
+    k = 8
+    dt1, dtk = _pipeline(lambda a: step(scene, cam, a), acc, k)
+    _report(
+        2, "cornell8_512x512x16sppx4b_auto", w * h * spp * b * k, dtk,
+        {"pipeline": k, "single_ms": round(dt1 * 1e3, 2)},
+    )
 
 
 def config3():
@@ -242,8 +251,12 @@ def config3():
             s, c, a, spp=spp, num_bounces=b, queue_factor=2.0
         )
     )
-    dt = _timeit(lambda: step(scene, cam, acc), n=2)
-    _report(3, "glass_split_512x512x64sppx8b_wavefront", w * h * spp * b, dt)
+    k = 4
+    dt1, dtk = _pipeline(lambda a: step(scene, cam, a), acc, k, n=1)
+    _report(
+        3, "glass_split_512x512x64sppx8b_wavefront", w * h * spp * b * k,
+        dtk, {"pipeline": k, "single_ms": round(dt1 * 1e3, 2)},
+    )
 
 
 def config4():
@@ -277,17 +290,15 @@ def config4():
         )
     )
 
-    def full(a):
-        for _ in range(n_chunks):
-            a = step(scene, cam, a)
-        return a
-
-    dt = _timeit(lambda: full(acc), n=1)
+    dt1, dtk = _pipeline(
+        lambda a: step(scene, cam, a), acc, n_chunks, n=1
+    )
     # NEE traces 2 rays per bounce (bsdf + shadow).
     _report(
         4, "big1000_nee_1920x1088x256sppx4b_physical",
-        w * h * spp * b * 2, dt,
-        {"note": "rays counts bsdf+shadow; 8x32spp pipelined dispatches"},
+        w * h * spp * b * 2, dtk,
+        {"pipeline": n_chunks, "single_ms": round(dt1 * 1e3, 1),
+         "note": "rays counts bsdf+shadow; 32-spp chunked dispatches"},
     )
 
 
@@ -311,24 +322,20 @@ def config5():
             )
         )
     )
-    # Measured as a k-step pipelined SGD loop (the real inverse-rendering
-    # usage pattern) — a single dispatch is dominated by host->device
-    # round-trip latency on the tunneled chip (~25 ms), not compute.
     k, lr = 16, 1e-6
 
-    def opt_loop(p):
-        loss = None
-        for _ in range(k):
-            loss, g = vg(p)
-            p = jax.tree_util.tree_map(lambda a, d: a - lr * d, p, g)
-        return loss
+    def sgd_step(p):
+        _, g = vg(p)
+        return jax.tree_util.tree_map(lambda a, d: a - lr * d, p, g)
 
-    dt1 = _timeit(lambda: vg(params))
-    dtk = _timeit(lambda: opt_loop(params))
-    # fwd + rematerialized bwd ~ 3x fwd ray work.
+    dt1, dtk = _pipeline(sgd_step, params, k)
+    # Ray accounting: segments counted ONCE per fwd+bwd step (the
+    # backward re-walk is cost, not credit) — same rule as bench.py's
+    # headline metric, so the two numbers are directly comparable.
     _report(5, f"invrender_grad_512x512x1sppx4b_{backend}",
-            w * h * b * 3 * k, dtk,
-            {"note": f"{k}-step SGD pipeline; single step {dt1 * 1e3:.2f} ms"})
+            w * h * b * k, dtk,
+            {"pipeline": k, "single_ms": round(dt1 * 1e3, 2),
+             "note": "fwd+bwd step; segments counted once (bench.py rule)"})
 
 
 def main():

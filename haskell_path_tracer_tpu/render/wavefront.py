@@ -104,21 +104,31 @@ def render_sample_wavefront(
     return_stats: bool = False,
     row_offset=0,
     full_height: int | None = None,
+    queue_tile: int = 2048,
 ):
     """One progressive sample via the wavefront queue.
 
-    `compact=False` (default): lanes keep pixel order; right for TPU where
-    the whole queue is processed every bounce anyway and the permutation
-    gather costs more than it saves (measured: compaction tripled the
-    per-sample time at 512x512).  `compact=True` maintains the live-dense
-    invariant — needed when a downstream consumer processes only the
-    queue front (per-tile Pallas kernels, ray splitting).
+    `compact=False` (default): lanes keep pixel order and the whole
+    queue is processed every bounce; right for shallow bounce budgets,
+    where the compaction permutation costs more than it saves (measured:
+    3x the per-sample time at 512x512 / 15 bounces).  `compact=True`
+    maintains the live-dense invariant and feeds the QUEUE-FRONT
+    CONSUMER: each bounce walks the queue in `queue_tile`-lane tiles and
+    `lax.cond`-skips every tile past the live count — intersect/shade
+    work per bounce is then proportional to the live population, not the
+    queue capacity (the payoff regime: deep bounce caps or Russian
+    roulette, where occupancy collapses after a few bounces; the
+    telemetry that prices this is `return_stats`).
 
     `return_stats=True` additionally returns :class:`WavefrontStats` with
-    per-bounce live-ray occupancy (the telemetry that prices compaction).
+    per-bounce live-ray occupancy.
     """
     height, width = acc.color.shape[:2]
     num_pixels = height * width
+    if compact and num_pixels % queue_tile:
+        # Tile skipping needs a tile-aligned queue; fall back to
+        # whole-queue processing (still compacted, same results).
+        queue_tile = num_pixels
 
     rays = primary_rays(camera, width, height, row_offset, full_height)
     state = _QueueState(
@@ -136,25 +146,25 @@ def render_sample_wavefront(
     def cond(s: _QueueState):
         return (s.bounce < num_bounces) & (s.count > 0)
 
-    def body(s: _QueueState) -> _QueueState:
-        occupancy = s.occupancy.at[s.bounce].set(s.count)
-        hit = nearest_hit(s.ray_o, s.ray_d, scene)
-        # Death test uses the stored (previous-bounce) throughput, before
-        # emission — Inline semantics (Trace.hs:364-365).  A lane whose
-        # throughput is zero is dead forever, so `live` needs no separate
-        # flag.
-        alive = hit.hit & ~linalg.near_zero(s.throughput)
+    def shade_slab(bounce, ray_o, ray_d, throughput, accum, rng):
+        """One bounce of intersect + shade over a slab of lanes.  Returns
+        the updated slab state + per-lane alive mask.  Death test uses
+        the stored (previous-bounce) throughput, before emission —
+        Inline semantics (Trace.hs:364-365); a lane whose throughput is
+        zero is dead forever, so `live` needs no separate flag."""
+        hit = nearest_hit(ray_o, ray_d, scene)
+        alive = hit.hit & ~linalg.near_zero(throughput)
 
-        contrib = brdf_ops.emittance(hit) * s.throughput
-        accum = jnp.where(alive[..., None], s.accum + contrib, s.accum)
+        contrib = brdf_ops.emittance(hit) * throughput
+        new_accum = jnp.where(alive[..., None], accum + contrib, accum)
 
-        next_o, next_d, tmod, rng2 = brdf_ops.sample(hit, s.ray_d, s.rng)
-        new_thpt = s.throughput * tmod
+        next_o, next_d, tmod, rng2 = brdf_ops.sample(hit, ray_d, rng)
+        new_thpt = throughput * tmod
 
         if russian_roulette:
             u, rng2 = rng_ops.sfc32_float(rng2)
             p_survive = jnp.clip(jnp.max(new_thpt, axis=-1), 0.05, 1.0)
-            active = s.bounce >= rr_start
+            active = bounce >= rr_start
             killed = active & (u >= p_survive)
             scale = jnp.where(active, 1.0 / p_survive, 1.0)
             new_thpt = jnp.where(
@@ -162,16 +172,80 @@ def render_sample_wavefront(
             )
 
         a3 = alive[..., None]
-        new = s._replace(
-            bounce=s.bounce + 1,
-            count=jnp.sum(alive).astype(jnp.int32),
-            ray_o=jnp.where(a3, next_o, s.ray_o),
-            ray_d=jnp.where(a3, next_d, s.ray_d),
-            throughput=jnp.where(a3, new_thpt, jnp.zeros_like(s.throughput)),
-            accum=accum,
-            rng=jnp.where(alive[..., None], rng2, s.rng),
-            occupancy=occupancy,
+        return (
+            jnp.where(a3, next_o, ray_o),
+            jnp.where(a3, next_d, ray_d),
+            jnp.where(a3, new_thpt, jnp.zeros_like(throughput)),
+            new_accum,
+            jnp.where(alive[..., None], rng2, rng),
+            alive,
         )
+
+    def body(s: _QueueState) -> _QueueState:
+        occupancy = s.occupancy.at[s.bounce].set(s.count)
+        if compact and queue_tile < num_pixels:
+            # Queue-front consumer: tiles wholly past the live count
+            # hold only dead lanes (live-dense invariant), so one scalar
+            # cond per tile skips their intersect+shade entirely.
+            n_tiles = num_pixels // queue_tile
+
+            def tile_step(carry, i):
+                ray_o, ray_d, thpt, accum, rng, n_alive = carry
+                start = i * queue_tile
+
+                def work(c):
+                    ray_o, ray_d, thpt, accum, rng, n_alive = c
+                    sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                        a, start, queue_tile
+                    )
+                    o2, d2, t2, a2, r2, alive = shade_slab(
+                        s.bounce, sl(ray_o), sl(ray_d), sl(thpt),
+                        sl(accum), sl(rng),
+                    )
+                    up = lambda a, v: jax.lax.dynamic_update_slice_in_dim(
+                        a, v, start, 0
+                    )
+                    return (
+                        up(ray_o, o2), up(ray_d, d2), up(thpt, t2),
+                        up(accum, a2), up(rng, r2),
+                        n_alive + jnp.sum(alive).astype(jnp.int32),
+                    )
+
+                carry = jax.lax.cond(
+                    start < s.count, work, lambda c: c, carry
+                )
+                return carry, None
+
+            (ray_o, ray_d, thpt, accum, rng, n_alive), _ = jax.lax.scan(
+                tile_step,
+                (s.ray_o, s.ray_d, s.throughput, s.accum, s.rng,
+                 jnp.zeros((), jnp.int32)),
+                jnp.arange(n_tiles, dtype=jnp.int32),
+            )
+            new = s._replace(
+                bounce=s.bounce + 1,
+                count=n_alive,
+                ray_o=ray_o,
+                ray_d=ray_d,
+                throughput=thpt,
+                accum=accum,
+                rng=rng,
+                occupancy=occupancy,
+            )
+        else:
+            o2, d2, t2, a2, r2, alive = shade_slab(
+                s.bounce, s.ray_o, s.ray_d, s.throughput, s.accum, s.rng
+            )
+            new = s._replace(
+                bounce=s.bounce + 1,
+                count=jnp.sum(alive).astype(jnp.int32),
+                ray_o=o2,
+                ray_d=d2,
+                throughput=t2,
+                accum=a2,
+                rng=r2,
+                occupancy=occupancy,
+            )
         if compact:
             live = ~linalg.near_zero(new.throughput)
             (o2, d2, px2, th2, ac2, rng3), _ = compact_queue(
