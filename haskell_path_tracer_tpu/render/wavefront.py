@@ -30,7 +30,10 @@ dynamic ray population lives in a *fixed-capacity queue*:
 Termination matches `Inline` exactly (dead = miss or nearZero throughput,
 checked before emission with the *previous* bounce's throughput), so
 `wavefront == inline` bit-for-bit on split-free scenes — the cross-check
-the reference could never make.  Ray splitting (dielectrics) enqueues
+the reference could never make.  (Caveat: under XLA's
+`--xla_allow_excess_precision` the two programs may fuse different FMA
+contractions at some shapes; measured effect is ~1 boundary-decision
+flip per 3e4 lanes at 256x128 — allclose, not bit-equal, there.)  Ray splitting (dielectrics) enqueues
 child rays into the queue's spare capacity; see
 `render_sample_wavefront_split`.
 """
