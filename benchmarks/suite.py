@@ -13,6 +13,8 @@ Configs (BASELINE.json), all at their specified shapes:
   4. large scene   — 1920x1088, 1000 spheres, NEE, 256 spp / 4 bounces
   5. inverse       — gradient step throughput at 512x512 (multi-host
                      scaling is exercised by __graft_entry__.dryrun_multichip)
+  6. physical NEE  — the production estimator on the Cornell scene (the
+                     small-scene coverage of the fused NEE megakernel)
 """
 
 from __future__ import annotations
@@ -338,8 +340,38 @@ def config5():
              "note": "fwd+bwd step; segments counted once (bench.py rule)"})
 
 
+def config6():
+    """Physical/NEE mode on the Cornell-class scene (VERDICT r2 item 5:
+    the production estimator gets the megakernel treatment on SMALL
+    scenes too — ops/pallas_nee.py covers any sphere+plane count)."""
+    import haskell_path_tracer_tpu as hpt
+    from haskell_path_tracer_tpu.ops.pallas_nee import scene_light_indices
+    from haskell_path_tracer_tpu.render.nee import _present_kinds
+
+    w, h, spp, b = 512, 512, 16, 4
+    scene, cam = cornell_scene(), hpt.initial_camera()
+    acc = hpt.make_accumulator(w, h, seed=0)
+    kinds = _present_kinds(scene)
+    light_idx = scene_light_indices(scene)
+    step = jax.jit(
+        lambda s, c, a: hpt.render_batch_physical(
+            s, c, a, spp=spp, num_bounces=b, nee=True, kinds=kinds,
+            light_idx=light_idx,
+        )
+    )
+    k = 8
+    dt1, dtk = _pipeline(lambda a: step(scene, cam, a), acc, k)
+    # NEE traces 2 rays per bounce (bsdf + shadow), same rule as config 4.
+    _report(
+        6, "cornell8_nee_512x512x16sppx4b_physical",
+        w * h * spp * b * 2 * k, dtk,
+        {"pipeline": k, "single_ms": round(dt1 * 1e3, 2),
+         "note": "rays counts bsdf+shadow; compare config 2 (parity mode)"},
+    )
+
+
 def main():
-    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5, 6]
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
     for n in which:
         try:

@@ -62,7 +62,10 @@ from .intersect import EPSILON, INFINITE, PLANE_DENOM_EPS
 TWO_PI = np.float32(2.0 * np.pi)
 INV_PI = np.float32(1.0 / np.pi)
 NEAR_ZERO_EPS = np.float32(1e-6)
-DEFAULT_BLOCK_R = 512  # lanes per program; [P, R] fold tiles stay in VMEM
+# Measured on v5e at 512x512 x 1000 spheres x 8spp x 4b (see commit log):
+# (block_r, unroll) = (256, 16) -> 115.1 Mrays/s; (512, 8) -> 109;
+# (128, 16) -> 104; flat around the optimum (fold-bound).
+DEFAULT_BLOCK_R = 256
 
 
 # --- SFC32 on [1, R] u32 rows (same ops as ops/rng.py:sfc32_next) -------
@@ -195,7 +198,7 @@ def _nee_kernel(
     ora_ref, orb_ref, orc_ref, orctr_ref,  # out VMEM [8, R] u32
     *,
     spp, num_bounces, num_spheres, num_planes, num_lights,
-    has_glossy, has_diel, block_skip=True,
+    has_glossy, has_diel, block_skip=True, unroll=8,
 ):
     """Per-lane state is [8, R]: 8 independent ray groups in the SUBLANE
     dim so every glue op runs at full (8, 128) VPU tile utilization (a
@@ -225,7 +228,7 @@ def _nee_kernel(
 
     def scalar_dual_fold(
         ox, oy, oz, dx, dy, dz, eps, bx=None, by=None, bz=None,
-        t_l=None, lgi=None, unroll=8,
+        t_l=None, lgi=None,
     ):
         """The sphere fold as a register-resident scalar-SMEM loop: the
         [8, R] carries stay in vregs while sphere columns stream from
@@ -657,6 +660,7 @@ def trace_physical_nee_pallas(
     block_r: int = DEFAULT_BLOCK_R,
     interpret: bool = False,
     block_skip: bool = True,
+    unroll: int = 16,
 ):
     """Fused physical/NEE trace: (radiance_sum over `spp` samples
     [H, W, 3], final rng [H, W, 4]).
@@ -762,6 +766,7 @@ def trace_physical_nee_pallas(
         has_glossy=has_glossy,
         has_diel=has_diel,
         block_skip=block_skip,
+        unroll=unroll,
     )
     table_spec = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM

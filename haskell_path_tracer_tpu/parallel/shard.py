@@ -75,11 +75,15 @@ def render_sharded(
     if algorithm not in ("inline", "physical", "wavefront", "split"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     if algorithm == "physical":
-        # Static kind set from the (usually concrete) scene before
-        # shard_map traces it — enables branch elision on every shard.
+        # Static facts from the (usually concrete) scene before
+        # shard_map traces it: the BRDF kind set (branch elision) and
+        # the emissive-sphere index tuple (the fused NEE megakernel's
+        # static light table) on every shard.
+        from ..ops.pallas_nee import scene_light_indices
         from ..render.nee import _present_kinds
 
         kinds = _present_kinds(scene)
+        light_idx = scene_light_indices(scene)
 
     def local_step(scene, camera, acc_block):
         row0 = jax.lax.axis_index(TILE_AXIS) * block_h
@@ -96,6 +100,7 @@ def render_sharded(
                 row_offset=row0,
                 full_height=full_height,
                 kinds=kinds,
+                light_idx=light_idx,
             )
         if algorithm == "wavefront":
             from ..render.wavefront import render_batch_wavefront

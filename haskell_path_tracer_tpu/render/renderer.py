@@ -43,6 +43,7 @@ class Renderer:
         self.config = config
         self._takes_dielectric_flag = False
         self._takes_kinds_flag = False
+        self._takes_light_idx = False
         if config.algorithm == "inline":
             step_fn = {
                 "auto": integrator.render_batch_auto,
@@ -76,13 +77,22 @@ class Renderer:
                 render_batch_physical_stateless,
             )
 
-            step = partial(
-                render_batch_physical_stateless
-                if config.sampler == "threefry"
-                else render_batch_physical,
-                num_bounces=config.bounces,
-                nee=config.nee,
-            )
+            if config.sampler == "threefry":
+                step = partial(
+                    render_batch_physical_stateless,
+                    num_bounces=config.bounces,
+                    nee=config.nee,
+                )
+            else:
+                step = partial(
+                    render_batch_physical,
+                    num_bounces=config.bounces,
+                    nee=config.nee,
+                )
+                # The fused NEE megakernel (ops/pallas_nee.py) needs the
+                # static emissive-sphere index tuple; it rides in as a
+                # hashable static argument like `kinds` below.
+                self._takes_light_idx = True
             # BRDF-kind elision needs the concrete (host-side) scene;
             # inside jit the materials are tracers, so the static kind
             # set rides in as a hashable static argument.
@@ -97,6 +107,15 @@ class Renderer:
                     scene, camera, acc, spp, has_dielectric=has_dielectric
                 ),
                 static_argnames=("spp", "has_dielectric"),
+                donate_argnames=("acc",),
+            )
+        elif self._takes_kinds_flag and self._takes_light_idx:
+            self._step = jax.jit(
+                lambda scene, camera, acc, spp, kinds, light_idx: step(
+                    scene, camera, acc, spp, kinds=kinds,
+                    light_idx=light_idx,
+                ),
+                static_argnames=("spp", "kinds", "light_idx"),
                 donate_argnames=("acc",),
             )
         elif self._takes_kinds_flag:
@@ -130,6 +149,13 @@ class Renderer:
         if self._takes_kinds_flag:
             from .nee import _present_kinds
 
+            if self._takes_light_idx:
+                from ..ops.pallas_nee import scene_light_indices
+
+                return self._step(
+                    scene, camera, acc, spp, _present_kinds(scene),
+                    scene_light_indices(scene),
+                )
             return self._step(scene, camera, acc, spp, _present_kinds(scene))
         return self._step(scene, camera, acc, spp)
 
