@@ -326,6 +326,10 @@ def config5():
     )
     k, lr = 16, 1e-6
 
+    # The WHOLE step under one jit: with the full 21-leaf SceneParams, a
+    # python-side tree_map update is 21 tiny launches/step — enough to
+    # become launch-bound through the tunneled chip.
+    @jax.jit
     def sgd_step(p):
         _, g = vg(p)
         return jax.tree_util.tree_map(lambda a, d: a - lr * d, p, g)
