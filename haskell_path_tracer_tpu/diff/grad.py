@@ -54,8 +54,16 @@ def render_radiance(
     row_offset=0,
     full_height: int | None = None,
     interpret: bool = False,
+    estimator: str = "parity",
 ) -> jnp.ndarray:
     """Differentiable expected-radiance image [H, W, 3].
+
+    `estimator="parity"` (default) differentiates the reference-parity
+    inline integrator; `"physical"` differentiates the corrected-BRDF +
+    NEE estimator (render/nee.py) — the production light transport,
+    whose area-sampling term (A cos / d^2) carries the physically
+    meaningful geometry gradients (e.g. emitter vertices; FD-validated
+    in tests/test_grad.py).  The physical estimator is XLA-only.
 
     Averages `spp` samples, each advancing the RNG state; the state itself
     is treated as a constant (no tangent), so the function is a
@@ -78,6 +86,26 @@ def render_radiance(
     the Pallas path.
     """
     rays = primary_rays(camera, width, height, row_offset, full_height)
+
+    if estimator == "physical":
+        if backend != "xla":
+            raise ValueError(
+                "estimator='physical' gradients run on the XLA path "
+                "(the Pallas NEE megakernel is forward-only)"
+            )
+        from ..render.nee import trace_physical
+
+        def sample_p(carry, _):
+            rng = carry
+            radiance, rng = trace_physical(
+                scene, rays, rng, num_bounces, nee=True, fused=False
+            )
+            return rng, radiance
+
+        _, radiances = jax.lax.scan(sample_p, rng_state, None, length=spp)
+        return jnp.mean(radiances, axis=0)
+    if estimator != "parity":
+        raise ValueError(f"unknown estimator {estimator!r}")
 
     if backend == "pallas":
         from ..ops.pallas_megakernel_vjp import trace_inline_pallas_diff
@@ -227,6 +255,7 @@ def image_loss(
     spp: int = 1,
     backend: str = "xla",
     has_dielectric: bool | None = None,
+    estimator: str = "parity",
 ) -> jnp.ndarray:
     """MSE between the rendered radiance image and a target — the inverse
     rendering objective."""
@@ -234,7 +263,7 @@ def image_loss(
     h, w = target.shape[:2]
     img = render_radiance(
         scene, camera, rng_state, w, h, num_bounces, spp, backend,
-        has_dielectric,
+        has_dielectric, estimator=estimator,
     )
     return jnp.mean((img - target) ** 2)
 
