@@ -405,11 +405,12 @@ def trace_inline_pallas_diff(
     if has_dielectric is None:
         has_dielectric = True
     if bwd_tile_rows is None:
-        # Rows stay at the forward tile height (8 = the f32 sublane
-        # minimum); _bwd_call additionally tiles the column axis at 128 to
-        # keep the reverse sweep's VMEM stack under the 16 MB scoped limit
-        # (measured: 8 bounces x 8 rows x 512 cols OOMs at 18 MB).
-        bwd_tile_rows = tile_rows
+        # 16-row backward tiles measured 1.65 vs 1.34 Grays/s fwd+bwd at
+        # 512x512/64spp/8b on v5e (the headline shape); 32 rows OOMs the
+        # reverse sweep's VMEM stack (_bwd_call already tiles the column
+        # axis at 128 — 8 bounces x 8 rows x 512 cols OOMed at 18 MB
+        # against the 16 MB scoped limit).
+        bwd_tile_rows = 16
     geom, mat = _scene_tables(scene)
     f = _make_diff_fn(
         spp, num_bounces, scene.spheres.count, tile_rows, bwd_tile_rows,
