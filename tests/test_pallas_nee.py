@@ -192,3 +192,75 @@ def test_light_indices_static_passing():
         scene, rays, rng, num_bounces=2, spp=1, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(rad_j), np.asarray(rad_e))
+
+
+# --- randomized differential fuzzing of the fused kernel -----------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _f32s(lo, hi):
+    lo32 = float(np.nextafter(np.float32(lo), np.float32(np.inf)))
+    hi32 = float(np.nextafter(np.float32(hi), np.float32(-np.inf)))
+    return st.floats(lo32, hi32, allow_nan=False, allow_infinity=False,
+                     width=32, allow_subnormal=False)
+
+
+@st.composite
+def _nee_scenes(draw):
+    n_s = draw(st.integers(2, 6))
+    n_p = draw(st.integers(0, 2))
+    mats = []
+    pos, rad = [], []
+    for i in range(n_s):
+        pos.append([draw(_f32s(-6, 6)), draw(_f32s(-3, 4)),
+                    draw(_f32s(-10, -2))])
+        rad.append(draw(_f32s(0.3, 1.5)))
+        mats.append((
+            [draw(_f32s(0.1, 1.0)) for _ in range(3)],
+            draw(st.sampled_from([0.0, 0.0, 5.0, 30.0])),
+            draw(st.sampled_from([BRDF_MATTE, BRDF_GLOSSY,
+                                  BRDF_DIELECTRIC])),
+            draw(_f32s(0.5, 1.6)),
+        ))
+    # Guarantee at least one NEE-sampled light.
+    mats[0] = (mats[0][0], 25.0, BRDF_MATTE, mats[0][3])
+    s = make_spheres(pos, rad, make_materials(mats))
+    if n_p:
+        pp, pn, pm = [], [], []
+        for _ in range(n_p):
+            pp.append([draw(_f32s(-2, 2)), draw(_f32s(-5, -2)),
+                       draw(_f32s(-2, 1))])
+            n = np.asarray([draw(_f32s(-0.6, 0.6)), draw(_f32s(0.4, 1)),
+                            draw(_f32s(-0.6, 0.6))], np.float32)
+            pn.append((n / np.linalg.norm(n)).tolist())
+            pm.append(([draw(_f32s(0.2, 1.0))] * 3, 0.0, BRDF_MATTE, 1.0))
+        p = make_planes(pp, pn, make_materials(pm))
+    else:
+        from haskell_path_tracer_tpu.models.objects import empty_materials
+
+        p = make_planes(np.zeros((0, 3)), np.zeros((0, 3)),
+                        empty_materials())
+    return Scene(spheres=s, planes=p)
+
+
+@settings(max_examples=25, deadline=None, print_blob=True)
+@given(scene=_nee_scenes(), seed=st.integers(0, 2**31 - 1),
+       bounces=st.integers(1, 4))
+def test_fuzz_kernel_matches_xla_estimator(scene, seed, bounces):
+    """Hypothesis-random NEE scenes (mixed matte/glossy/dielectric,
+    random lights/planes/camera seeds): the fused kernel's radiance and
+    RNG must match the XLA estimator lane-for-lane."""
+    cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
+    rng = gen_seeds((H, W), seed=seed)
+    rays = primary_rays(cam, W, H)
+    rad_ref, rng_ref = trace_physical(
+        scene, rays, rng, num_bounces=bounces, nee=True, fused=False
+    )
+    rad_k, rng_k = trace_physical_nee_pallas(
+        scene, rays, rng, num_bounces=bounces, spp=1, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(rng_ref), np.asarray(rng_k))
+    np.testing.assert_allclose(
+        np.asarray(rad_k), np.asarray(rad_ref), rtol=1e-3, atol=1e-3
+    )

@@ -203,3 +203,24 @@ def test_split_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ref.color), np.asarray(out.color), rtol=1e-6, atol=1e-6
     )
+
+
+def test_physical_sharded_matches_single_device():
+    """`--variant physical` under a mesh: the NEE estimator row-shards
+    with zero collectives (scene replicated, shadow rays on-chip)."""
+    from haskell_path_tracer_tpu.render.nee import render_batch_physical
+
+    scene, cam = world.main_scene(), world.initial_camera()
+    mesh = M.make_mesh()
+    acc0 = make_accumulator(W, H, seed=13)
+    ref = render_batch_physical(scene, cam, acc0, spp=2, num_bounces=4)
+
+    acc_sh = place_accumulator(make_accumulator(W, H, seed=13), mesh)
+    out = render_sharded(
+        scene, cam, acc_sh, spp=2, mesh=mesh, num_bounces=4,
+        algorithm="physical",
+    )
+    np.testing.assert_array_equal(np.asarray(ref.rng), np.asarray(out.rng))
+    np.testing.assert_allclose(
+        np.asarray(ref.color), np.asarray(out.color), rtol=1e-5, atol=1e-5
+    )
