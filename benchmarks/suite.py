@@ -68,6 +68,9 @@ def _pipeline(step, state, k, n=2):
     return dt1, dtk
 
 
+TARGET_RAYS_PER_S = 5.0e8  # BASELINE.json north star (rays/s/chip)
+
+
 def _report(config, name, rays, seconds, extra=None):
     rec = {
         "config": config,
@@ -75,6 +78,9 @@ def _report(config, name, rays, seconds, extra=None):
         "value": rays / seconds,
         "unit": "rays/s",
         "seconds": round(seconds, 4),
+        # One methodology + one accounting rule make these ratios
+        # comparable across configs (VERDICT r2 item 4).
+        "vs_baseline": round(rays / seconds / TARGET_RAYS_PER_S, 4),
     }
     rec.update(extra or {})
     print(json.dumps(rec), flush=True)
