@@ -19,7 +19,16 @@ SOURCE = os.path.join(_DIR, "native", "ptru_native.cpp")
 LIBRARY = os.path.join(_DIR, "native", "libptru.so")
 
 _CXX = os.environ.get("CXX", "g++")
-_FLAGS = ["-O2", "-shared", "-fPIC", "-std=c++17", "-pthread"]
+# -ffp-contract=off: g++ contracts a*b+c into FMA by default at -O2,
+# which perturbs t = tca - sqrt(r2 - d2) by an ulp relative to the
+# numpy/JAX oracles and flips accept decisions on boundary rays — found
+# by the three-way differential fuzzer (test_parity_fuzz) as a 0.5%-of-
+# lanes RNG divergence on near-tie scenes.  The oracle must evaluate
+# plain IEEE f32, like the implementations it cross-checks.
+_FLAGS = [
+    "-O2", "-ffp-contract=off", "-shared", "-fPIC", "-std=c++17",
+    "-pthread",
+]
 
 
 class BuildError(RuntimeError):
