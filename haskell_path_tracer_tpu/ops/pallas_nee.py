@@ -312,13 +312,13 @@ def _nee_kernel(
         """Hit payload: one-hot MXU gather for spheres (exact at HIGHEST
         precision), unrolled SMEM selects for planes.
 
-        Also RE-DERIVES the winner's t in the exact (c - o) form: the
-        fold's hoisted-|c|^2 expansion only RANKS candidates (its ~1e-4
-        relative t error would shift hit points past the EPSILON
-        self-offset on large scenes); one exact per-lane recompute from
-        the gathered center/radius is O(R) — free against the O(P*R)
-        fold — and restores hit-point accuracy to f32 (the same op
-        order as ops/intersect.py:sphere_distances)."""
+        Also RE-DERIVES the winner's t in ops/intersect.py's exact op
+        order: the fold already uses the exact (c - o) form, but clamps
+        the discriminant as sqrt(max(h, 0)) while sphere_distances uses
+        the outside-test + sqrt(max(r2 - d2, 1e-12)) form — the two
+        differ in the grazing band h < 1e-12, so lane-exact t parity
+        with the XLA path needs one recompute in the reference form.
+        O(R) per winner — free against the O(P*R) fold."""
         hit = t < INFINITE
 
         def gather_g(prim_, hit_):
@@ -361,13 +361,20 @@ def _nee_kernel(
             az = jnp.where(m, plane_ref[j, 5], az)
         return t, hit, is_plane, cr, cg, cb, il, param, kind, ax, ay, az
 
+    # Primary hit from the camera: eps = 0 acceptance (nearest_hit).
+    # Hoisted OUT of the spp loop — primary rays carry no per-sample
+    # jitter (models/camera.py:primary_rays is deterministic) and the
+    # fold draws no RNG, so all spp samples share one primary fold.
+    # Mosaic does not move loop-invariant folds out of fori_loop itself;
+    # at 4 bounces this deletes ~1/5 of all (ray, sphere) pairs.
+    t0, prim0, _ = scalar_dual_fold(
+        pox, poy, poz, pdx, pdy, pdz, np.float32(0.0)
+    )
+    t0, prim0 = merge_planes(t0, prim0, pox, poy, poz, pdx, pdy, pdz, 0.0)
+
     def one_sample(carry):
         ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
-        # Primary hit from the camera: eps = 0 acceptance (nearest_hit).
-        t, prim, _ = scalar_dual_fold(
-            pox, poy, poz, pdx, pdy, pdz, np.float32(0.0)
-        )
-        t, prim = merge_planes(t, prim, pox, poy, poz, pdx, pdy, pdz, 0.0)
+        t, prim = t0, prim0
 
         state = (
             pox, poy, poz, pdx, pdy, pdz, t, prim,
@@ -522,6 +529,16 @@ def _nee_kernel(
                         hx, hy, hz, bx, by, bz, lx, ly, lz, lrad
                     )
                 else:
+                    # Zero-light scenes still advance the stream by the 3
+                    # light-sampling draws: both XLA NEE paths
+                    # (trace_physical and _trace_physical_fused) draw them
+                    # unconditionally, and render_batch_physical
+                    # auto-routes L == 0 scenes here — skipping the draws
+                    # would silently fork the RNG stream vs the documented
+                    # drop-in XLA fallback (ADVICE r3).
+                    _, _, _, (ra2, rb2, rc2, rctr2) = _draw3(
+                        (ra2, rb2, rc2, rctr2)
+                    )
                     bx = by = bz = jnp.zeros((8, R), jnp.float32)
                     t_l = jnp.full((8, R), INFINITE)
                     inv_pdf = jnp.zeros((8, R), jnp.float32)

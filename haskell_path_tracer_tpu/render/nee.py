@@ -232,6 +232,13 @@ def _tri_area_sample(tris, t_idx, point, u1, u2):
     # gradients).  Samples closer than the tracer's own geometric
     # resolution (2 * the self-intersection offset) are rejected — below
     # that distance the surface model has no meaning anyway.
+    # KNOWN BIAS (accepted, ADVICE r3): the rejection zeroes the sample
+    # without renormalizing the pdf, and matte lanes get no BSDF-pickup
+    # compensation under NEE — shade points within 2*EPSILON of a
+    # triangle emitter are darkened by the rejected mass.  The dead zone
+    # is ~2e-4 scene units wide; the alternative (clamping d2 to min_d2)
+    # bounds the estimator but biases *bright* instead and was rejected
+    # because it perturbs every near-light sample, not just the zone.
     min_d2 = np.float32((2.0 * EPSILON) ** 2)
     inv_pdf = jnp.where(
         (cos_l > 1e-6) & (d2 >= min_d2), area * cos_l / d2, 0.0

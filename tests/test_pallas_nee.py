@@ -156,6 +156,41 @@ def test_big_scene_matches():
     np.testing.assert_allclose(rad_k, rad_ref, rtol=1e-3, atol=1e-4)
 
 
+def zero_light():
+    """No emissive sphere (L == 0): lit only by an emissive plane.
+    scene_light_indices returns (), which still auto-routes to the
+    kernel — the kernel must keep drawing the 3 light-sampling uniforms
+    per bounce to stay RNG-bit-equal with the XLA path (ADVICE r3)."""
+    s = make_spheres(
+        [[0.0, 0.0, -5.0], [1.5, 0.8, -4.0]],
+        [1.2, 0.6],
+        make_materials(
+            [([0.8, 0.4, 0.3], 0.0, BRDF_MATTE, 1.0),
+             ([0.4, 0.8, 0.5], 0.0, BRDF_GLOSSY, 1.0)]
+        ),
+    )
+    p = make_planes(
+        [[0.0, -3.0, 0.0], [0.0, 9.0, 0.0]],
+        [[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]],
+        make_materials(
+            [([0.7, 0.7, 0.7], 0.0, BRDF_MATTE, 1.0),
+             ([1.0, 1.0, 0.9], 4.0, BRDF_MATTE, 1.0)]
+        ),
+    )
+    return Scene(spheres=s, planes=p)
+
+
+def test_zero_light_scene_rng_and_radiance_match():
+    scene = zero_light()
+    assert scene_light_indices(scene) == ()
+    rad_ref, rng_ref, rad_k, rng_k = run_pair(
+        scene, hpt.initial_camera(), bounces=3, spp=2
+    )
+    assert np.abs(rad_ref).max() > 0  # plane light reaches the film
+    np.testing.assert_array_equal(rng_ref, rng_k)
+    np.testing.assert_allclose(rad_k, rad_ref, rtol=1e-4, atol=1e-4)
+
+
 def test_block_boundary_independence():
     """Results don't depend on the lane blocking (padding/grid specs)."""
     scene, cam = cornell8(), hpt.initial_camera()
