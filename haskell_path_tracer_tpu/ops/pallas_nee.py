@@ -186,26 +186,155 @@ def _plane_t(ox, oy, oz, dx, dy, dz, prow, reject_below):
     return jnp.where(miss, INFINITE, dist)
 
 
+def _sphere_fold(
+    geom_ref, P, unroll,
+    ox, oy, oz, dx, dy, dz, eps, bx=None, by=None, bz=None,
+    t_l=None, lgi=None,
+):
+    """The sphere fold as a register-resident scalar-SMEM loop: the
+    [8, R] carries stay in vregs while sphere columns stream from
+    SMEM — the round-2 dual kernel's formulation
+    (ops/pallas_intersect.py:_dual_fold_kernel, measured 91.6
+    Gpairs/s).  A [P, R]-broadcast formulation measured ~3.5x slower
+    in situ: every fold op streams 500-vreg [1000, 512] tiles
+    through VMEM instead of staying in registers.
+
+    BSDF side: accept tca>=eps, h>=0, t>=eps (reference rules at an
+    eps-shifted origin; exact same f32 values as the XLA path).
+    Shadow side (when bx is not None): sqrt-free any-hit in
+    [EPSILON, t_l) excluding sphere `lgi`.
+
+    Module-level so the primary-probe kernel and the fused bounce-loop
+    kernel run the IDENTICAL f32 op sequence (shared-formula parity).
+    """
+    do_shadow = bx is not None
+    shape = ox.shape
+
+    def one(p, carry):
+        best_t, best_p, occ = carry
+        cx = geom_ref[p, 0]
+        cy = geom_ref[p, 1]
+        cz = geom_ref[p, 2]
+        r2 = geom_ref[p, 3]
+        lx, ly, lz = cx - ox, cy - oy, cz - oz
+        ll = lx * lx + ly * ly + lz * lz
+        tca = lx * dx + ly * dy + lz * dz
+        h = r2 - (ll - tca * tca)
+        thc = jnp.sqrt(jnp.maximum(h, 0.0))
+        t = tca - thc
+        # (tca >= eps) is implied: t >= eps with thc >= 0 forces
+        # tca = t + thc >= eps — one fewer compare per pair.
+        ok = (h >= 0.0) & (t >= eps) & (t < best_t)
+        best_t = jnp.where(ok, t, best_t)
+        best_p = jnp.where(ok, p, best_p)
+        if do_shadow:
+            tca2 = lx * bx + ly * by + lz * bz
+            h2 = r2 - (ll - tca2 * tca2)
+            a1 = tca2 - EPSILON
+            a2 = tca2 - t_l
+            occ_p = (
+                (h2 >= 0.0)
+                & (a1 >= 0.0)
+                & (a1 * a1 >= h2)
+                & ((a2 < 0.0) | (a2 * a2 < h2))
+                & (p != lgi)
+            )
+            occ = occ | occ_p.astype(jnp.int32)
+        return best_t, best_p, occ
+
+    init = (
+        jnp.full(shape, INFINITE, jnp.float32),
+        jnp.zeros(shape, jnp.int32),
+        jnp.zeros(shape, jnp.int32),
+    )
+    n_main = P // unroll * unroll
+
+    def body(i, c):
+        p0 = i * unroll
+        for k in range(unroll):
+            c = one(p0 + k, c)
+        return c
+
+    carry = jax.lax.fori_loop(0, n_main // unroll, body, init)
+    for p in range(n_main, P):
+        carry = one(p, carry)
+    best_t, best_p, occ = carry
+    return best_t, jnp.minimum(best_p, P - 1), occ
+
+
+def _merge_planes_ref(
+    plane_ref, num_planes, P, t, prim, ox, oy, oz, dx, dy, dz,
+    reject_below,
+):
+    """Fold planes into the sphere-best; strict < keeps the sphere on
+    ties and the lowest plane index among planes (checkHit order)."""
+    for j in range(num_planes):
+        prow = [plane_ref[j, k] for k in range(6)]
+        pt = _plane_t(ox, oy, oz, dx, dy, dz, prow, reject_below)
+        better = pt < t
+        t = jnp.where(better, pt, t)
+        prim = jnp.where(better, P + j, prim)
+    return t, prim
+
+
+def _primary_kernel(
+    geom_ref, plane_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    t_ref, prim_ref,
+    *, num_spheres, num_planes, unroll,
+):
+    """Camera-ray nearest hit only (eps = 0 acceptance): the presort
+    probe.  Runs the identical fold/merge formulas as the bounce loop,
+    so its (t, prim) can be fed back into the main kernel verbatim."""
+    t, prim, _ = _sphere_fold(
+        geom_ref, num_spheres, unroll,
+        ox_ref[:, :], oy_ref[:, :], oz_ref[:, :],
+        dx_ref[:, :], dy_ref[:, :], dz_ref[:, :], np.float32(0.0),
+    )
+    t, prim = _merge_planes_ref(
+        plane_ref, num_planes, num_spheres, t, prim,
+        ox_ref[:, :], oy_ref[:, :], oz_ref[:, :],
+        dx_ref[:, :], dy_ref[:, :], dz_ref[:, :], 0.0,
+    )
+    t_ref[:, :] = t
+    prim_ref[:, :] = prim
+
+
 def _nee_kernel(
     geom_ref,    # SMEM [P, 4] f32: cx, cy, cz, r2
     gat_ref,     # VMEM [16, P] f32: cr cg cb il cx cy cz param kind rad 0..
     plane_ref,   # SMEM [M?, 12] f32: px py pz nx ny nz cr cg cb il param kind
     light_ref,   # SMEM [L?, 8] f32: lx ly lz radius er eg eb gidx
-    ox_ref, oy_ref, oz_ref,   # VMEM [8, R] f32 primary ray origins
-    dx_ref, dy_ref, dz_ref,   # VMEM [8, R] f32 primary ray directions
-    ra_ref, rb_ref, rc_ref, rctr_ref,  # VMEM [8, R] u32 SFC32 state
-    rad_r_ref, rad_g_ref, rad_b_ref,   # out VMEM [8, R] f32
-    ora_ref, orb_ref, orc_ref, orctr_ref,  # out VMEM [8, R] u32
-    *,
+    *refs,
+    # refs: ox oy oz dx dy dz ra rb rc rctr [t0 p0] | rad_r rad_g rad_b
+    #       ora orb orc orctr
     spp, num_bounces, num_spheres, num_planes, num_lights,
     has_glossy, has_diel, block_skip=True, unroll=8,
+    primary_inputs=False, regenerate=True,
 ):
     """Per-lane state is [8, R]: 8 independent ray groups in the SUBLANE
     dim so every glue op runs at full (8, 128) VPU tile utilization (a
     [1, R] formulation measured 3x slower end-to-end — glue rows used
     1/8 of the VPU).  The pairwise [P, R] fold runs once per sublane
     group (free row slices, results re-stacked by sublane concat); total
-    pair count is unchanged."""
+    pair count is unchanged.
+
+    With `primary_inputs=True` the camera nearest-hit (t0, prim0) comes
+    in as two extra refs (the presort probe's output) instead of being
+    folded in-kernel — the presorted layout groups sky-dead lanes into
+    whole blocks so `block_skip` skips them for every sample and bounce.
+    """
+    if primary_inputs:
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         ra_ref, rb_ref, rc_ref, rctr_ref, t0_ref, p0_ref,
+         rad_r_ref, rad_g_ref, rad_b_ref,
+         ora_ref, orb_ref, orc_ref, orctr_ref) = refs
+    else:
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         ra_ref, rb_ref, rc_ref, rctr_ref,
+         rad_r_ref, rad_g_ref, rad_b_ref,
+         ora_ref, orb_ref, orc_ref, orctr_ref) = refs
+        t0_ref = p0_ref = None
     P = num_spheres
     R = ox_ref.shape[1]
     pox, poy, poz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
@@ -226,87 +355,14 @@ def _nee_kernel(
             for i in range(n_out)
         )
 
-    def scalar_dual_fold(
-        ox, oy, oz, dx, dy, dz, eps, bx=None, by=None, bz=None,
-        t_l=None, lgi=None,
-    ):
-        """The sphere fold as a register-resident scalar-SMEM loop: the
-        [8, R] carries stay in vregs while sphere columns stream from
-        SMEM — the round-2 dual kernel's formulation
-        (ops/pallas_intersect.py:_dual_fold_kernel, measured 91.6
-        Gpairs/s).  A [P, R]-broadcast formulation measured ~3.5x slower
-        in situ: every fold op streams 500-vreg [1000, 512] tiles
-        through VMEM instead of staying in registers.
-
-        BSDF side: accept tca>=eps, h>=0, t>=eps (reference rules at an
-        eps-shifted origin; exact same f32 values as the XLA path).
-        Shadow side (when bx is not None): sqrt-free any-hit in
-        [EPSILON, t_l) excluding sphere `lgi`.
-        """
-        do_shadow = bx is not None
-        shape = ox.shape
-
-        def one(p, carry):
-            best_t, best_p, occ = carry
-            cx = geom_ref[p, 0]
-            cy = geom_ref[p, 1]
-            cz = geom_ref[p, 2]
-            r2 = geom_ref[p, 3]
-            lx, ly, lz = cx - ox, cy - oy, cz - oz
-            ll = lx * lx + ly * ly + lz * lz
-            tca = lx * dx + ly * dy + lz * dz
-            h = r2 - (ll - tca * tca)
-            thc = jnp.sqrt(jnp.maximum(h, 0.0))
-            t = tca - thc
-            # (tca >= eps) is implied: t >= eps with thc >= 0 forces
-            # tca = t + thc >= eps — one fewer compare per pair.
-            ok = (h >= 0.0) & (t >= eps) & (t < best_t)
-            best_t = jnp.where(ok, t, best_t)
-            best_p = jnp.where(ok, p, best_p)
-            if do_shadow:
-                tca2 = lx * bx + ly * by + lz * bz
-                h2 = r2 - (ll - tca2 * tca2)
-                a1 = tca2 - EPSILON
-                a2 = tca2 - t_l
-                occ_p = (
-                    (h2 >= 0.0)
-                    & (a1 >= 0.0)
-                    & (a1 * a1 >= h2)
-                    & ((a2 < 0.0) | (a2 * a2 < h2))
-                    & (p != lgi)
-                )
-                occ = occ | occ_p.astype(jnp.int32)
-            return best_t, best_p, occ
-
-        init = (
-            jnp.full(shape, INFINITE, jnp.float32),
-            jnp.zeros(shape, jnp.int32),
-            jnp.zeros(shape, jnp.int32),
-        )
-        n_main = P // unroll * unroll
-
-        def body(i, c):
-            p0 = i * unroll
-            for k in range(unroll):
-                c = one(p0 + k, c)
-            return c
-
-        carry = jax.lax.fori_loop(0, n_main // unroll, body, init)
-        for p in range(n_main, P):
-            carry = one(p, carry)
-        best_t, best_p, occ = carry
-        return best_t, jnp.minimum(best_p, P - 1), occ
+    def scalar_dual_fold(*args, **kw):
+        return _sphere_fold(geom_ref, P, unroll, *args, **kw)
 
     def merge_planes(t, prim, ox, oy, oz, dx, dy, dz, reject_below):
-        """Fold planes into the sphere-best; strict < keeps the sphere on
-        ties and the lowest plane index among planes (checkHit order)."""
-        for j in range(num_planes):
-            prow = [plane_ref[j, k] for k in range(6)]
-            pt = _plane_t(ox, oy, oz, dx, dy, dz, prow, reject_below)
-            better = pt < t
-            t = jnp.where(better, pt, t)
-            prim = jnp.where(better, P + j, prim)
-        return t, prim
+        return _merge_planes_ref(
+            plane_ref, num_planes, P, t, prim, ox, oy, oz, dx, dy, dz,
+            reject_below,
+        )
 
     def payload(t, prim, ox, oy, oz, dx, dy, dz):
         """Hit payload: one-hot MXU gather for spheres (exact at HIGHEST
@@ -367,268 +423,354 @@ def _nee_kernel(
     # fold draws no RNG, so all spp samples share one primary fold.
     # Mosaic does not move loop-invariant folds out of fori_loop itself;
     # at 4 bounces this deletes ~1/5 of all (ray, sphere) pairs.
-    t0, prim0, _ = scalar_dual_fold(
-        pox, poy, poz, pdx, pdy, pdz, np.float32(0.0)
-    )
-    t0, prim0 = merge_planes(t0, prim0, pox, poy, poz, pdx, pdy, pdz, 0.0)
-
-    def one_sample(carry):
-        ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
-        t, prim = t0, prim0
-
-        state = (
-            pox, poy, poz, pdx, pdy, pdz, t, prim,
-            ra, rb, rc, rctr,
-            jnp.zeros((8, R), jnp.float32),  # result r
-            jnp.zeros((8, R), jnp.float32),
-            jnp.zeros((8, R), jnp.float32),
-            jnp.ones((8, R), jnp.float32),   # throughput r
-            jnp.ones((8, R), jnp.float32),
-            jnp.ones((8, R), jnp.float32),
-            jnp.ones((8, R), jnp.int32),     # prev_spec
+    # In presort mode the probe kernel already computed it.
+    if primary_inputs:
+        t0, prim0 = t0_ref[:, :], p0_ref[:, :]
+    else:
+        t0, prim0, _ = scalar_dual_fold(
+            pox, poy, poz, pdx, pdy, pdz, np.float32(0.0)
+        )
+        t0, prim0 = merge_planes(
+            t0, prim0, pox, poy, poz, pdx, pdy, pdz, 0.0
         )
 
-        def bounce(_, st):
-            (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
-             res_r, res_g, res_b, th_r, th_g, th_b, prev_spec) = st
+    def live_body(operands):
+        """ONE bounce of the physical/NEE estimator for every lane of
+        the block: payload gather, emission pickup, BRDF + light
+        sampling, the dual sphere fold, plane merges, NEE resolve.
+        Shared by both execution disciplines (the legacy spp x bounce
+        loops and the path-regeneration while loop); callers mask dead
+        lanes back afterwards."""
+        (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
+         res_r, res_g, res_b, th_r, th_g, th_b, prev_spec) = operands
+        hit = t < INFINITE
 
-            hit = t < INFINITE
-            q = th_r * th_r + th_g * th_g + th_b * th_b
-            dead = (q <= NEAR_ZERO_EPS) | ~hit
+        # Payload gather runs inside the alive-skip: fully dead
+        # blocks pay neither the one-hot contraction nor glue.
+        (t, _, is_plane, cr, cg, cb, il, param, kind,
+         ax, ay, az) = payload(t, prim, ox, oy, oz, dx, dy, dz)
 
-            def live_body(operands):
-                (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
-                 res_r, res_g, res_b, th_r, th_g, th_b, prev_spec) = operands
+        # Hit point + normal (sphere: normalize(point - center);
+        # plane: stored normal) — ops/intersect.py:hit_from_t_prim.
+        t_safe = jnp.where(hit, t, 0.0)
+        hx = ox + dx * t_safe
+        hy = oy + dy * t_safe
+        hz = oz + dz * t_safe
+        sx, sy, sz = hx - ax, hy - ay, hz - az
+        sq = _dot3(sx, sy, sz, sx, sy, sz)
+        inv = 1.0 / jnp.maximum(jnp.sqrt(sq), 1e-20)
+        nx = jnp.where(is_plane, ax, sx * inv)
+        ny = jnp.where(is_plane, ay, sy * inv)
+        nz = jnp.where(is_plane, az, sz * inv)
 
-                # Payload gather runs inside the alive-skip: fully dead
-                # blocks pay neither the one-hot contraction nor glue.
-                (t, _, is_plane, cr, cg, cb, il, param, kind,
-                 ax, ay, az) = payload(t, prim, ox, oy, oz, dx, dy, dz)
+        # Emission pickup (NEE rule: specular chains + planes).
+        take = (prev_spec != 0) | is_plane
+        emit = jnp.where(take, il, 0.0)
+        nres_r = res_r + emit * cr * th_r
+        nres_g = res_g + emit * cg * th_g
+        nres_b = res_b + emit * cb * th_b
 
-                # Hit point + normal (sphere: normalize(point - center);
-                # plane: stored normal) — ops/intersect.py:hit_from_t_prim.
-                t_safe = jnp.where(hit, t, 0.0)
-                hx = ox + dx * t_safe
-                hy = oy + dy * t_safe
-                hz = oz + dz * t_safe
-                sx, sy, sz = hx - ax, hy - ay, hz - az
-                sq = _dot3(sx, sy, sz, sx, sy, sz)
-                inv = 1.0 / jnp.maximum(jnp.sqrt(sq), 1e-20)
-                nx = jnp.where(is_plane, ax, sx * inv)
-                ny = jnp.where(is_plane, ay, sy * inv)
-                nz = jnp.where(is_plane, az, sz * inv)
-
-                # Emission pickup (NEE rule: specular chains + planes).
-                take = (prev_spec != 0) | is_plane
-                emit = jnp.where(take, il, 0.0)
-                nres_r = res_r + emit * cr * th_r
-                nres_g = res_g + emit * cg * th_g
-                nres_b = res_b + emit * cb * th_b
-
-                # BRDF sampling (render/nee.py:sample_physical): 3 draws.
-                u1, u2, u3, (ra2, rb2, rc2, rctr2) = _draw3(
-                    (ra, rb, rc, rctr)
-                )
-                ndx, ndy, ndz = _cosine_hemisphere(nx, ny, nz, u1, u2)
-                is_spec = jnp.zeros((8, R), jnp.bool_)
-                if has_glossy:
-                    ia = _dot3(dx, dy, dz, nx, ny, nz)
-                    gx = dx - 2.0 * ia * nx
-                    gy = dy - 2.0 * ia * ny
-                    gz = dz - 2.0 * ia * nz
-                    is_g = kind == np.float32(BRDF_GLOSSY)
-                    ndx = jnp.where(is_g, gx, ndx)
-                    ndy = jnp.where(is_g, gy, ndy)
-                    ndz = jnp.where(is_g, gz, ndz)
-                    is_spec = is_spec | is_g
-                if has_diel:
-                    # ops/brdf.py:dielectric_split + u3 branch choice.
-                    cos_i0 = -_dot3(dx, dy, dz, nx, ny, nz)
-                    inside = cos_i0 < 0.0
-                    fnx = jnp.where(inside, -nx, nx)
-                    fny = jnp.where(inside, -ny, ny)
-                    fnz = jnp.where(inside, -nz, nz)
-                    aci = jnp.abs(cos_i0)
-                    ior = param
-                    eta = jnp.where(inside, ior, 1.0 / ior)
-                    sin2 = eta * eta * jnp.maximum(1.0 - aci * aci, 0.0)
-                    tir = sin2 > 1.0
-                    cos_t = jnp.where(
-                        tir,
-                        0.0,
-                        jnp.sqrt(
-                            jnp.where(
-                                tir, 1.0, jnp.maximum(1.0 - sin2, 1e-12)
-                            )
-                        ),
+        # BRDF sampling (render/nee.py:sample_physical): 3 draws.
+        u1, u2, u3, (ra2, rb2, rc2, rctr2) = _draw3(
+            (ra, rb, rc, rctr)
+        )
+        ndx, ndy, ndz = _cosine_hemisphere(nx, ny, nz, u1, u2)
+        is_spec = jnp.zeros((8, R), jnp.bool_)
+        if has_glossy:
+            ia = _dot3(dx, dy, dz, nx, ny, nz)
+            gx = dx - 2.0 * ia * nx
+            gy = dy - 2.0 * ia * ny
+            gz = dz - 2.0 * ia * nz
+            is_g = kind == np.float32(BRDF_GLOSSY)
+            ndx = jnp.where(is_g, gx, ndx)
+            ndy = jnp.where(is_g, gy, ndy)
+            ndz = jnp.where(is_g, gz, ndz)
+            is_spec = is_spec | is_g
+        if has_diel:
+            # ops/brdf.py:dielectric_split + u3 branch choice.
+            cos_i0 = -_dot3(dx, dy, dz, nx, ny, nz)
+            inside = cos_i0 < 0.0
+            fnx = jnp.where(inside, -nx, nx)
+            fny = jnp.where(inside, -ny, ny)
+            fnz = jnp.where(inside, -nz, nz)
+            aci = jnp.abs(cos_i0)
+            ior = param
+            eta = jnp.where(inside, ior, 1.0 / ior)
+            sin2 = eta * eta * jnp.maximum(1.0 - aci * aci, 0.0)
+            tir = sin2 > 1.0
+            cos_t = jnp.where(
+                tir,
+                0.0,
+                jnp.sqrt(
+                    jnp.where(
+                        tir, 1.0, jnp.maximum(1.0 - sin2, 1e-12)
                     )
-                    r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
-                    fres = r0 + (1.0 - r0) * (1.0 - aci) ** 5
-                    f_refl = jnp.where(tir, 1.0, fres)
-                    ia2 = _dot3(dx, dy, dz, fnx, fny, fnz)
-                    rx = dx - 2.0 * ia2 * fnx
-                    ry = dy - 2.0 * ia2 * fny
-                    rz = dz - 2.0 * ia2 * fnz
-                    k2 = eta * aci - cos_t
-                    tx = eta * dx + k2 * fnx
-                    ty = eta * dy + k2 * fny
-                    tz = eta * dz + k2 * fnz
-                    tq = jnp.maximum(
-                        jnp.sqrt(_dot3(tx, ty, tz, tx, ty, tz)), 1e-20
-                    )
-                    take_r = u3 < f_refl
-                    ddx = jnp.where(take_r, rx, tx / tq)
-                    ddy = jnp.where(take_r, ry, ty / tq)
-                    ddz = jnp.where(take_r, rz, tz / tq)
-                    is_d = kind == np.float32(BRDF_DIELECTRIC)
-                    ndx = jnp.where(is_d, ddx, ndx)
-                    ndy = jnp.where(is_d, ddy, ndy)
-                    ndz = jnp.where(is_d, ddz, ndz)
-                    is_spec = is_spec | is_d
-
-                if num_lights:
-                    # Light draw (3 uniforms) + rank selection + cone
-                    # sample — render/nee.py:_trace_physical_fused body.
-                    us0, us1, us2, (ra2, rb2, rc2, rctr2) = _draw3(
-                        (ra2, rb2, rc2, rctr2)
-                    )
-                    k = jnp.clip(
-                        jnp.floor(us0 * np.float32(num_lights)),
-                        0.0,
-                        np.float32(num_lights - 1),
-                    ).astype(jnp.int32)
-                    lx = jnp.zeros((8, R), jnp.float32)
-                    ly = jnp.zeros((8, R), jnp.float32)
-                    lz = jnp.zeros((8, R), jnp.float32)
-                    lrad = jnp.zeros((8, R), jnp.float32)
-                    ler = jnp.zeros((8, R), jnp.float32)
-                    leg = jnp.zeros((8, R), jnp.float32)
-                    leb = jnp.zeros((8, R), jnp.float32)
-                    # global index rides the table as f32 (exact < 2^24)
-                    lgif = jnp.zeros((8, R), jnp.float32)
-                    for j in range(num_lights):
-                        m = k == j
-                        lx = jnp.where(m, light_ref[j, 0], lx)
-                        ly = jnp.where(m, light_ref[j, 1], ly)
-                        lz = jnp.where(m, light_ref[j, 2], lz)
-                        lrad = jnp.where(m, light_ref[j, 3], lrad)
-                        ler = jnp.where(m, light_ref[j, 4], ler)
-                        leg = jnp.where(m, light_ref[j, 5], leg)
-                        leb = jnp.where(m, light_ref[j, 6], leb)
-                        lgif = jnp.where(m, light_ref[j, 7], lgif)
-                    lgi = lgif.astype(jnp.int32)
-                    bx, by, bz, solid_angle = _cone_sample(
-                        lx, ly, lz, lrad, hx, hy, hz, us1, us2
-                    )
-                    inv_pdf = jnp.where(
-                        solid_angle > 1e-9,
-                        solid_angle * np.float32(num_lights),
-                        0.0,
-                    )
-                    t_l = _sphere_t_single(
-                        hx, hy, hz, bx, by, bz, lx, ly, lz, lrad
-                    )
-                else:
-                    # Zero-light scenes still advance the stream by the 3
-                    # light-sampling draws: both XLA NEE paths
-                    # (trace_physical and _trace_physical_fused) draw them
-                    # unconditionally, and render_batch_physical
-                    # auto-routes L == 0 scenes here — skipping the draws
-                    # would silently fork the RNG stream vs the documented
-                    # drop-in XLA fallback (ADVICE r3).
-                    _, _, _, (ra2, rb2, rc2, rctr2) = _draw3(
-                        (ra2, rb2, rc2, rctr2)
-                    )
-                    bx = by = bz = jnp.zeros((8, R), jnp.float32)
-                    t_l = jnp.full((8, R), INFINITE)
-                    inv_pdf = jnp.zeros((8, R), jnp.float32)
-                    lgi = jnp.full((8, R), -1, jnp.int32)
-                    ler = leg = leb = jnp.zeros((8, R), jnp.float32)
-
-                # The dual fold: one register-resident pass over
-                # the sphere table answers next-BSDF nearest AND shadow
-                # occlusion (shared l vector per sphere).
-                if num_lights:
-                    t2, prim2, occ = scalar_dual_fold(
-                        hx, hy, hz, ndx, ndy, ndz, EPSILON,
-                        bx, by, bz, t_l, lgi,
-                    )
-                else:
-                    t2, prim2, _ = scalar_dual_fold(
-                        hx, hy, hz, ndx, ndy, ndz, EPSILON
-                    )
-                t2, prim2 = merge_planes(
-                    t2, prim2, hx, hy, hz, ndx, ndy, ndz, EPSILON
-                )
-                if num_lights:
-                    for j in range(num_planes):
-                        prow = [plane_ref[j, kk] for kk in range(6)]
-                        pd = _plane_t(hx, hy, hz, bx, by, bz, prow, 0.0)
-                        occ = occ | (
-                            (pd >= EPSILON) & (pd < t_l)
-                        ).astype(jnp.int32)
-                    visible = (occ == 0) & (t_l < INFINITE)
-                    cos_i = _dot3(bx, by, bz, nx, ny, nz)
-                    is_matte = kind == np.float32(BRDF_MATTE)
-                    w = visible & is_matte & (cos_i > 0.0)
-                    scale = jnp.where(w, cos_i * inv_pdf * INV_PI, 0.0)
-                    nres_r = nres_r + th_r * cr * ler * scale
-                    nres_g = nres_g + th_g * cg * leg * scale
-                    nres_b = nres_b + th_b * cb * leb * scale
-
-                return (
-                    hx, hy, hz, ndx, ndy, ndz, t2, prim2,
-                    ra2, rb2, rc2, rctr2,
-                    nres_r, nres_g, nres_b,
-                    th_r * cr, th_g * cg, th_b * cb,
-                    is_spec.astype(jnp.int32),
-                )
-
-            operands = (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
-                        res_r, res_g, res_b, th_r, th_g, th_b, prev_spec)
-            # Whole-bounce block skip: a block whose lanes are all dead
-            # (sky tiles after bounce 0) skips fold AND glue; dead lanes
-            # draw no RNG in either formulation, so this is exact.
-            if block_skip:
-                alive_any = jnp.any(~dead)
-                new = jax.lax.cond(
-                    alive_any, live_body, lambda op: op, operands
-                )
-            else:
-                new = live_body(operands)
-            (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_t, n_prim,
-             n_ra, n_rb, n_rc, n_rctr, n_rr, n_rg, n_rbl,
-             n_thr, n_thg, n_thb, n_ps) = new
-
-            sel = lambda old, nw: jnp.where(dead, old, nw)
-            return (
-                sel(ox, n_ox), sel(oy, n_oy), sel(oz, n_oz),
-                sel(dx, n_dx), sel(dy, n_dy), sel(dz, n_dz),
-                sel(t, n_t), sel(prim, n_prim),
-                sel(ra, n_ra), sel(rb, n_rb), sel(rc, n_rc),
-                sel(rctr, n_rctr),
-                sel(res_r, n_rr), sel(res_g, n_rg), sel(res_b, n_rbl),
-                jnp.where(dead, 0.0, n_thr),
-                jnp.where(dead, 0.0, n_thg),
-                jnp.where(dead, 0.0, n_thb),
-                sel(prev_spec, n_ps),
+                ),
             )
+            r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+            fres = r0 + (1.0 - r0) * (1.0 - aci) ** 5
+            f_refl = jnp.where(tir, 1.0, fres)
+            ia2 = _dot3(dx, dy, dz, fnx, fny, fnz)
+            rx = dx - 2.0 * ia2 * fnx
+            ry = dy - 2.0 * ia2 * fny
+            rz = dz - 2.0 * ia2 * fnz
+            k2 = eta * aci - cos_t
+            tx = eta * dx + k2 * fnx
+            ty = eta * dy + k2 * fny
+            tz = eta * dz + k2 * fnz
+            tq = jnp.maximum(
+                jnp.sqrt(_dot3(tx, ty, tz, tx, ty, tz)), 1e-20
+            )
+            take_r = u3 < f_refl
+            ddx = jnp.where(take_r, rx, tx / tq)
+            ddy = jnp.where(take_r, ry, ty / tq)
+            ddz = jnp.where(take_r, rz, tz / tq)
+            is_d = kind == np.float32(BRDF_DIELECTRIC)
+            ndx = jnp.where(is_d, ddx, ndx)
+            ndy = jnp.where(is_d, ddy, ndy)
+            ndz = jnp.where(is_d, ddz, ndz)
+            is_spec = is_spec | is_d
 
-        state = jax.lax.fori_loop(0, num_bounces, bounce, state)
-        (_, _, _, _, _, _, _, _, ra, rb, rc, rctr,
-         res_r, res_g, res_b, _, _, _, _) = state
-        return (ra, rb, rc, rctr,
-                acc_r + res_r, acc_g + res_g, acc_b + res_b)
+        if num_lights:
+            # Light draw (3 uniforms) + rank selection + cone
+            # sample — render/nee.py:_trace_physical_fused body.
+            us0, us1, us2, (ra2, rb2, rc2, rctr2) = _draw3(
+                (ra2, rb2, rc2, rctr2)
+            )
+            k = jnp.clip(
+                jnp.floor(us0 * np.float32(num_lights)),
+                0.0,
+                np.float32(num_lights - 1),
+            ).astype(jnp.int32)
+            lx = jnp.zeros((8, R), jnp.float32)
+            ly = jnp.zeros((8, R), jnp.float32)
+            lz = jnp.zeros((8, R), jnp.float32)
+            lrad = jnp.zeros((8, R), jnp.float32)
+            ler = jnp.zeros((8, R), jnp.float32)
+            leg = jnp.zeros((8, R), jnp.float32)
+            leb = jnp.zeros((8, R), jnp.float32)
+            # global index rides the table as f32 (exact < 2^24)
+            lgif = jnp.zeros((8, R), jnp.float32)
+            for j in range(num_lights):
+                m = k == j
+                lx = jnp.where(m, light_ref[j, 0], lx)
+                ly = jnp.where(m, light_ref[j, 1], ly)
+                lz = jnp.where(m, light_ref[j, 2], lz)
+                lrad = jnp.where(m, light_ref[j, 3], lrad)
+                ler = jnp.where(m, light_ref[j, 4], ler)
+                leg = jnp.where(m, light_ref[j, 5], leg)
+                leb = jnp.where(m, light_ref[j, 6], leb)
+                lgif = jnp.where(m, light_ref[j, 7], lgif)
+            lgi = lgif.astype(jnp.int32)
+            bx, by, bz, solid_angle = _cone_sample(
+                lx, ly, lz, lrad, hx, hy, hz, us1, us2
+            )
+            inv_pdf = jnp.where(
+                solid_angle > 1e-9,
+                solid_angle * np.float32(num_lights),
+                0.0,
+            )
+            t_l = _sphere_t_single(
+                hx, hy, hz, bx, by, bz, lx, ly, lz, lrad
+            )
+        else:
+            # Zero-light scenes still advance the stream by the 3
+            # light-sampling draws: both XLA NEE paths
+            # (trace_physical and _trace_physical_fused) draw them
+            # unconditionally, and render_batch_physical
+            # auto-routes L == 0 scenes here — skipping the draws
+            # would silently fork the RNG stream vs the documented
+            # drop-in XLA fallback (ADVICE r3).
+            _, _, _, (ra2, rb2, rc2, rctr2) = _draw3(
+                (ra2, rb2, rc2, rctr2)
+            )
+            bx = by = bz = jnp.zeros((8, R), jnp.float32)
+            t_l = jnp.full((8, R), INFINITE)
+            inv_pdf = jnp.zeros((8, R), jnp.float32)
+            lgi = jnp.full((8, R), -1, jnp.int32)
+            ler = leg = leb = jnp.zeros((8, R), jnp.float32)
+
+        # The dual fold: one register-resident pass over
+        # the sphere table answers next-BSDF nearest AND shadow
+        # occlusion (shared l vector per sphere).
+        if num_lights:
+            t2, prim2, occ = scalar_dual_fold(
+                hx, hy, hz, ndx, ndy, ndz, EPSILON,
+                bx, by, bz, t_l, lgi,
+            )
+        else:
+            t2, prim2, _ = scalar_dual_fold(
+                hx, hy, hz, ndx, ndy, ndz, EPSILON
+            )
+        t2, prim2 = merge_planes(
+            t2, prim2, hx, hy, hz, ndx, ndy, ndz, EPSILON
+        )
+        if num_lights:
+            for j in range(num_planes):
+                prow = [plane_ref[j, kk] for kk in range(6)]
+                pd = _plane_t(hx, hy, hz, bx, by, bz, prow, 0.0)
+                occ = occ | (
+                    (pd >= EPSILON) & (pd < t_l)
+                ).astype(jnp.int32)
+            visible = (occ == 0) & (t_l < INFINITE)
+            cos_i = _dot3(bx, by, bz, nx, ny, nz)
+            is_matte = kind == np.float32(BRDF_MATTE)
+            w = visible & is_matte & (cos_i > 0.0)
+            scale = jnp.where(w, cos_i * inv_pdf * INV_PI, 0.0)
+            nres_r = nres_r + th_r * cr * ler * scale
+            nres_g = nres_g + th_g * cg * leg * scale
+            nres_b = nres_b + th_b * cb * leb * scale
+
+        return (
+            hx, hy, hz, ndx, ndy, ndz, t2, prim2,
+            ra2, rb2, rc2, rctr2,
+            nres_r, nres_g, nres_b,
+            th_r * cr, th_g * cg, th_b * cb,
+            is_spec.astype(jnp.int32),
+        )
+
+    def masked_step(dead, operands):
+        """Run `live_body` and roll dead lanes back to their old state
+        (so they draw no RNG and accumulate nothing)."""
+        new = live_body(operands)
+        (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
+         res_r, res_g, res_b, th_r, th_g, th_b, prev_spec) = operands
+        (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_t, n_prim,
+         n_ra, n_rb, n_rc, n_rctr, n_rr, n_rg, n_rbl,
+         n_thr, n_thg, n_thb, n_ps) = new
+
+        sel = lambda old, nw: jnp.where(dead, old, nw)
+        return (
+            sel(ox, n_ox), sel(oy, n_oy), sel(oz, n_oz),
+            sel(dx, n_dx), sel(dy, n_dy), sel(dz, n_dz),
+            sel(t, n_t), sel(prim, n_prim),
+            sel(ra, n_ra), sel(rb, n_rb), sel(rc, n_rc),
+            sel(rctr, n_rctr),
+            sel(res_r, n_rr), sel(res_g, n_rg), sel(res_b, n_rbl),
+            jnp.where(dead, 0.0, n_thr),
+            jnp.where(dead, 0.0, n_thg),
+            jnp.where(dead, 0.0, n_thb),
+            sel(prev_spec, n_ps),
+        )
 
     zero = jnp.zeros((8, R), jnp.float32)
-    carry = (
-        ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :],
-        zero, zero, zero,
-    )
-    carry = jax.lax.fori_loop(
-        0, spp, lambda _, c: one_sample(c), carry
-    )
-    ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
+    one = jnp.ones((8, R), jnp.float32)
+    ione = jnp.ones((8, R), jnp.int32)
+
+    if regenerate:
+        # --- path-regeneration discipline -----------------------------
+        # SIMD lanes waste no folds on dead paths: the moment a lane's
+        # path terminates (escape, absorption, or bounce budget) it
+        # banks the sample and restarts the NEXT sample from the
+        # register-resident primary hit — the classic persistent-threads
+        # wavefront, with the "queue" being each lane's own sample
+        # counter.  On the BASELINE config-4 scene the per-bounce alive
+        # fractions are [.58, .31, .14, .07]: the legacy spp x bounce
+        # discipline folds all four bounces for every lane (dead lanes
+        # masked but paid), ~3.6x more fold work than the paths need.
+        # Lane-for-lane bit-identical to the legacy loops: each lane
+        # processes its samples in order, drawing the same RNG stream.
+        prim_dead = ~(t0 < INFINITE)
+        st0 = (
+            pox, poy, poz, pdx, pdy, pdz, t0, prim0,
+            ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :],
+            zero, zero, zero, one, one, one, ione,
+            # sample index: sky lanes complete all samples instantly —
+            # each of their samples adds nothing and draws nothing.
+            jnp.where(prim_dead, spp, 0).astype(jnp.int32),
+            jnp.zeros((8, R), jnp.int32),  # bounce index
+            zero, zero, zero,              # banked radiance
+        )
+
+        def w_cond(st):
+            return jnp.any(st[19] < spp)
+
+        def w_body(st):
+            (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
+             res_r, res_g, res_b, th_r, th_g, th_b, prev_spec,
+             s_idx, b_idx, acc_r, acc_g, acc_b) = st
+            in_flight = s_idx < spp
+            q = th_r * th_r + th_g * th_g + th_b * th_b
+            path_dead = (
+                (q <= NEAR_ZERO_EPS)
+                | ~(t < INFINITE)
+                | (b_idx >= num_bounces)
+            )
+            # Bank finished samples, restart from the primary hit.
+            fin = in_flight & path_dead
+            acc_r = jnp.where(fin, acc_r + res_r, acc_r)
+            acc_g = jnp.where(fin, acc_g + res_g, acc_g)
+            acc_b = jnp.where(fin, acc_b + res_b, acc_b)
+            s_idx = s_idx + fin.astype(jnp.int32)
+            re = fin & (s_idx < spp)
+            rsel = lambda new, old: jnp.where(re, new, old)
+            ox, oy, oz = rsel(pox, ox), rsel(poy, oy), rsel(poz, oz)
+            dx, dy, dz = rsel(pdx, dx), rsel(pdy, dy), rsel(pdz, dz)
+            t, prim = rsel(t0, t), rsel(prim0, prim)
+            res_r, res_g, res_b = rsel(zero, res_r), rsel(
+                zero, res_g
+            ), rsel(zero, res_b)
+            th_r, th_g, th_b = rsel(one, th_r), rsel(one, th_g), rsel(
+                one, th_b
+            )
+            prev_spec = rsel(ione, prev_spec)
+            b_idx = jnp.where(re, 0, b_idx)
+            # Every in-flight lane now carries a live path (a reinit
+            # lane's primary is alive by construction: dead-primary
+            # lanes completed all samples at init).
+            active = s_idx < spp
+            operands = (ox, oy, oz, dx, dy, dz, t, prim,
+                        ra, rb, rc, rctr, res_r, res_g, res_b,
+                        th_r, th_g, th_b, prev_spec)
+            merged = masked_step(~active, operands)
+            b_idx = b_idx + active.astype(jnp.int32)
+            return (*merged, s_idx, b_idx, acc_r, acc_g, acc_b)
+
+        stf = jax.lax.while_loop(w_cond, w_body, st0)
+        ra, rb, rc, rctr = stf[8], stf[9], stf[10], stf[11]
+        acc_r, acc_g, acc_b = stf[21], stf[22], stf[23]
+    else:
+        # --- legacy spp x bounce discipline ---------------------------
+        def one_sample(carry):
+            ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
+            state = (
+                pox, poy, poz, pdx, pdy, pdz, t0, prim0,
+                ra, rb, rc, rctr,
+                zero, zero, zero, one, one, one, ione,
+            )
+
+            def bounce(_, st):
+                t, th_r, th_g, th_b = st[6], st[15], st[16], st[17]
+                q = th_r * th_r + th_g * th_g + th_b * th_b
+                dead = (q <= NEAR_ZERO_EPS) | ~(t < INFINITE)
+                # Whole-bounce block skip: a block whose lanes are all
+                # dead (sky tiles after bounce 0) skips fold AND glue;
+                # dead lanes draw no RNG either way, so this is exact.
+                if block_skip:
+                    alive_any = jnp.any(~dead)
+                    return jax.lax.cond(
+                        alive_any,
+                        lambda op: masked_step(dead, op),
+                        lambda op: op,
+                        st,
+                    )
+                return masked_step(dead, st)
+
+            state = jax.lax.fori_loop(0, num_bounces, bounce, state)
+            (_, _, _, _, _, _, _, _, ra, rb, rc, rctr,
+             res_r, res_g, res_b, _, _, _, _) = state
+            return (ra, rb, rc, rctr,
+                    acc_r + res_r, acc_g + res_g, acc_b + res_b)
+
+        carry = (
+            ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :],
+            zero, zero, zero,
+        )
+        carry = jax.lax.fori_loop(
+            0, spp, lambda _, c: one_sample(c), carry
+        )
+        ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
+
     rad_r_ref[:, :] = acc_r
     rad_g_ref[:, :] = acc_g
     rad_b_ref[:, :] = acc_b
@@ -678,6 +820,8 @@ def trace_physical_nee_pallas(
     interpret: bool = False,
     block_skip: bool = True,
     unroll: int = 16,
+    presort: bool | None = None,
+    regenerate: bool = True,
 ):
     """Fused physical/NEE trace: (radiance_sum over `spp` samples
     [H, W, 3], final rng [H, W, 4]).
@@ -687,6 +831,16 @@ def trace_physical_nee_pallas(
     VMEM.  `light_idx` is the static emissive-sphere index tuple
     (`scene_light_indices`); pass it from OUTSIDE jit for traced scenes
     — positions/materials may be traced, counts may not.
+
+    `regenerate` (default True) runs the path-regeneration discipline:
+    each lane streams through its samples continuously, restarting from
+    the register-resident primary hit the moment a path dies, so no
+    fold is spent on dead lanes.  False = the legacy spp x bounce loop.
+    Lane-for-lane bit-identical either way.
+
+    `presort` (None = auto; only meaningful with regenerate=False) runs
+    a primary-probe kernel and permutes lanes alive-first so sky-dead
+    lanes form whole skippable blocks; per-pixel bit-identical.
     """
     from ..render.nee import _present_kinds
 
@@ -762,16 +916,80 @@ def trace_physical_nee_pallas(
     pad = pad_n - n
     cols = pad_n // 8
 
-    def plane2d(a):
-        f = a.reshape(-1)
+    def plane2d(f):
         f = jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
         return f.reshape(8, cols)
 
-    comp_ins = (
-        [plane2d(rays.origin[..., i]) for i in range(3)]
-        + [plane2d(rays.direction[..., i]) for i in range(3)]
-        + [plane2d(rng_state[..., i]) for i in range(4)]
+    flat_ins = (
+        [rays.origin[..., i].reshape(-1) for i in range(3)]
+        + [rays.direction[..., i].reshape(-1) for i in range(3)]
+        + [rng_state[..., i].reshape(-1) for i in range(4)]
     )
+
+    table_spec = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    smem_spec = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    col_spec = pl.BlockSpec(
+        (8, block_r), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if presort is None:
+        # Regeneration already never folds dead lanes (sky lanes finish
+        # all samples at init, whole-sky blocks exit the while loop in
+        # zero iterations), so the probe + permute machinery (~0.26 s at
+        # 1080p through XLA's gathers) is a pure loss there.  Only the
+        # legacy discipline benefits, when the fold dominates (large P).
+        presort = (not regenerate) and P >= 64
+    pos = None
+    primary_ins = []
+    if presort:
+        # --- presort by primary aliveness -----------------------------
+        # Primary hits are deterministic per pixel, so one probe fold
+        # classifies every lane for ALL samples: gathering the alive
+        # lanes to the front makes sky-dead lanes contiguous, and the
+        # kernel's whole-block skip then elides fold AND glue for them
+        # at every (sample, bounce) — on mostly-sky scenes (BASELINE
+        # config 4 measures 42% primary miss) this removes ~40% of all
+        # pair work.  Per-pixel results are bit-identical: each lane
+        # carries its own RNG/ray state through the permutation.
+        t0f, p0f = pl.pallas_call(
+            functools.partial(
+                _primary_kernel, num_spheres=P, num_planes=M,
+                unroll=unroll,
+            ),
+            grid=(blocks,),
+            in_specs=[smem_spec(geom), smem_spec(plane_tab)]
+            + [col_spec] * 6,
+            out_specs=[col_spec] * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct((8, cols), jnp.float32),
+                jax.ShapeDtypeStruct((8, cols), jnp.int32),
+            ],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(geom, plane_tab, *[plane2d(f) for f in flat_ins[:6]])
+        t0f = t0f.reshape(-1)[:n]
+        p0f = p0f.reshape(-1)[:n]
+        alive = (t0f < INFINITE).astype(jnp.int32)
+        n_alive = jnp.sum(alive)
+        # Stable alive-first partition, O(n): position of lane i, then
+        # the gather permutation g with g[pos[i]] = i.
+        pos = jnp.where(
+            alive == 1,
+            jnp.cumsum(alive) - 1,
+            n_alive + jnp.cumsum(1 - alive) - 1,
+        )
+        g = jnp.zeros((n,), jnp.int32).at[pos].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        flat_ins = [f[g] for f in flat_ins]
+        primary_ins = [plane2d(t0f[g]), plane2d(p0f[g])]
+
+    comp_ins = [plane2d(f) for f in flat_ins] + primary_ins
 
     kernel = functools.partial(
         _nee_kernel,
@@ -784,15 +1002,8 @@ def trace_physical_nee_pallas(
         has_diel=has_diel,
         block_skip=block_skip,
         unroll=unroll,
-    )
-    table_spec = lambda a: pl.BlockSpec(
-        a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
-    smem_spec = lambda a: pl.BlockSpec(
-        a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
-    )
-    col_spec = pl.BlockSpec(
-        (8, block_r), lambda i: (0, i), memory_space=pltpu.VMEM
+        primary_inputs=presort,
+        regenerate=regenerate,
     )
     out = pl.pallas_call(
         kernel,
@@ -803,7 +1014,7 @@ def trace_physical_nee_pallas(
             smem_spec(plane_tab),
             smem_spec(light_tab),
         ]
-        + [col_spec] * 10,
+        + [col_spec] * len(comp_ins),
         out_specs=[col_spec] * 7,
         out_shape=(
             [jax.ShapeDtypeStruct((8, cols), jnp.float32)] * 3
@@ -813,14 +1024,14 @@ def trace_physical_nee_pallas(
         # |l|^2, fold temporaries, one-hot) — ~26 MB at P=1000, R=512,
         # past the compiler's default 16 MB scoped-vmem cap but well
         # inside the chip's physical VMEM.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
+        compiler_params=cparams,
         interpret=interpret,
     )(geom, gatT, plane_tab, light_tab, *comp_ins)
 
     def unflat(a):
-        return a.reshape(-1)[:n]
+        f = a.reshape(-1)[:n]
+        # Undo the presort: lane i's result sits at sorted slot pos[i].
+        return f[pos] if pos is not None else f
 
     rad = jnp.stack([unflat(out[i]) for i in range(3)], axis=-1).reshape(
         *shape, 3

@@ -208,6 +208,32 @@ def test_block_boundary_independence():
     np.testing.assert_array_equal(out[0], out[1])
 
 
+def test_presort_bit_identical():
+    """Alive-first presort (probe kernel + lane permutation) must be a
+    pure layout change: per-pixel radiance AND rng bit-equal to the
+    unsorted kernel, on a scene with plenty of sky-dead lanes."""
+    cam = Camera.create([0.0, 2.0, 0.0], [0.2, 0.0, 0.0], 90.0)
+    scene = big()
+    rng = gen_seeds((H, W), seed=5)
+    rays = primary_rays(cam, W, H)
+    outs = [
+        trace_physical_nee_pallas(
+            scene, rays, rng, num_bounces=3, spp=2, interpret=True,
+            presort=ps,
+        )
+        for ps in (False, True)
+    ]
+    # the scene must actually have both alive and sky-dead primaries
+    from haskell_path_tracer_tpu.ops.intersect import nearest_hit
+
+    hit = np.asarray(nearest_hit(rays.origin, rays.direction, scene).hit)
+    assert 0.05 < hit.mean() < 0.95, hit.mean()
+    np.testing.assert_array_equal(np.asarray(outs[0][0]),
+                                  np.asarray(outs[1][0]))
+    np.testing.assert_array_equal(np.asarray(outs[0][1]),
+                                  np.asarray(outs[1][1]))
+
+
 def test_light_indices_static_passing():
     """Traced scenes work when light_idx is supplied from outside jit
     (the suite/Renderer pattern)."""
@@ -285,7 +311,15 @@ def _nee_scenes(draw):
 def test_fuzz_kernel_matches_xla_estimator(scene, seed, bounces):
     """Hypothesis-random NEE scenes (mixed matte/glossy/dielectric,
     random lights/planes/camera seeds): the fused kernel's radiance and
-    RNG must match the XLA estimator lane-for-lane."""
+    RNG must match the XLA estimator lane-for-lane.
+
+    RNG streams must be bit-equal (draw-count parity is structural);
+    radiance gets the test_parity_fuzz divergent-lane policy: XLA may
+    contract mul+add chains into FMAs differently in the two programs,
+    and at grazing incidence a 1-ulp difference flips an accept/reject
+    and diverges that lane's whole path — so up to 0.5% of lanes may
+    disagree (measured rate on random scenes: ~1 lane per few thousand,
+    most runs zero)."""
     cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
     rng = gen_seeds((H, W), seed=seed)
     rays = primary_rays(cam, W, H)
@@ -296,6 +330,10 @@ def test_fuzz_kernel_matches_xla_estimator(scene, seed, bounces):
         scene, rays, rng, num_bounces=bounces, spp=1, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(rng_ref), np.asarray(rng_k))
-    np.testing.assert_allclose(
-        np.asarray(rad_k), np.asarray(rad_ref), rtol=1e-3, atol=1e-3
+    rk, rr = np.asarray(rad_k), np.asarray(rad_ref)
+    bad = np.abs(rk - rr) > (1e-3 + 1e-3 * np.abs(rr))
+    bad_lane_frac = bad.any(-1).mean()
+    assert bad_lane_frac <= 0.005, (
+        f"{bad.any(-1).sum()} divergent lanes "
+        f"({bad_lane_frac:.2%}); max abs diff {np.abs(rk - rr).max()}"
     )
