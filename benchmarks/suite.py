@@ -284,11 +284,12 @@ def config4():
 
     kinds = _present_kinds(scene)
     light_idx = scene_light_indices(scene)
-    # The full 256 spp are rendered as pipelined chunked dispatches: one
-    # single-dispatch execution past ~60-80 s kills the tunneled TPU
-    # worker.  Dispatch count does not change the workload — the
-    # accumulator threads through.
-    spp_chunk = 32
+    # One 256-spp dispatch: at round-4 speeds the whole frame set runs in
+    # ~10 s, inside the tunneled worker's ~60-80 s deadline, and the
+    # depth-sort machinery + block-tail imbalance amortize over 8x more
+    # samples than the round-3 32-spp chunks did (block work under
+    # regeneration concentrates toward the lane mean as spp grows).
+    spp_chunk = 256
     assert spp % spp_chunk == 0, (spp, spp_chunk)  # _report credits w*h*spp
     n_chunks = spp // spp_chunk
     step = jax.jit(
@@ -306,7 +307,7 @@ def config4():
         4, "big1000_nee_1920x1088x256sppx4b_physical",
         w * h * spp * b * 2, dtk,
         {"pipeline": n_chunks, "single_ms": round(dt1 * 1e3, 1),
-         "note": "rays counts bsdf+shadow; 32-spp chunked dispatches"},
+         "note": "rays counts bsdf+shadow; single 256-spp dispatch"},
     )
 
 

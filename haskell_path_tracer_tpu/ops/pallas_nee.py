@@ -819,7 +819,7 @@ def trace_physical_nee_pallas(
     block_r: int = DEFAULT_BLOCK_R,
     interpret: bool = False,
     block_skip: bool = True,
-    unroll: int = 16,
+    unroll: int = 32,
     presort: bool | None = None,
     regenerate: bool = True,
 ):
@@ -838,9 +838,10 @@ def trace_physical_nee_pallas(
     fold is spent on dead lanes.  False = the legacy spp x bounce loop.
     Lane-for-lane bit-identical either way.
 
-    `presort` (None = auto; only meaningful with regenerate=False) runs
-    a primary-probe kernel and permutes lanes alive-first so sky-dead
-    lanes form whole skippable blocks; per-pixel bit-identical.
+    `presort` (None = auto: large sphere counts) runs a primary-probe
+    kernel and depth-sorts lanes by primary-hit distance (sky last), so
+    regeneration blocks are workload-homogeneous and legacy blocks of
+    sky lanes skip whole; per-pixel bit-identical either way.
     """
     from ..render.nee import _present_kinds
 
@@ -916,8 +917,8 @@ def trace_physical_nee_pallas(
     pad = pad_n - n
     cols = pad_n // 8
 
-    def plane2d(f):
-        f = jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
+    def plane2d(f, fill=0):
+        f = jnp.concatenate([f, jnp.full((pad,), fill, f.dtype)])
         return f.reshape(8, cols)
 
     flat_ins = (
@@ -938,23 +939,45 @@ def trace_physical_nee_pallas(
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     if presort is None:
-        # Regeneration already never folds dead lanes (sky lanes finish
-        # all samples at init, whole-sky blocks exit the while loop in
-        # zero iterations), so the probe + permute machinery (~0.26 s at
-        # 1080p through XLA's gathers) is a pure loss there.  Only the
-        # legacy discipline benefits, when the fold dominates (large P).
-        presort = (not regenerate) and P >= 64
+        # Sort when the fold dominates (large P).  Under regeneration a
+        # block's step count is its BUSIEST lane's total path length:
+        # depth-sorting by primary-hit distance makes blocks
+        # workload-homogeneous (sky lanes — zero work — land together at
+        # the end).  Measured on the BASELINE config-4 population: block
+        # work 2.81x the lane-mean under raster order, 1.82x under the
+        # t0 sort (an oracle sort by realized work reaches 1.00x; t0
+        # matches sorting by work measured over 1-4 probe samples).
+        # Under the legacy discipline the same sort makes sky-dead lanes
+        # contiguous so whole blocks skip.
+        presort = P >= 64
     pos = None
     primary_ins = []
+
+    def bitcast(a, dt):
+        return jax.lax.bitcast_convert_type(a, dt)
+
+    def permute_packed(flats, g, n_out):
+        """Apply the lane permutation `g` to many same-length f32-width
+        arrays with ONE row gather: XLA's per-array 1D gathers measure
+        ~44 ms each at 2M lanes on v5e; a packed [n, k] row gather is
+        ~78 ms TOTAL."""
+        cols_ = [
+            a if a.dtype == jnp.float32 else bitcast(a, jnp.float32)
+            for a in flats
+        ]
+        packed = jnp.stack(cols_, axis=-1)[g]
+        return [
+            packed[:, i]
+            if flats[i].dtype == jnp.float32
+            else bitcast(packed[:, i], flats[i].dtype)
+            for i in range(n_out)
+        ]
+
     if presort:
-        # --- presort by primary aliveness -----------------------------
         # Primary hits are deterministic per pixel, so one probe fold
-        # classifies every lane for ALL samples: gathering the alive
-        # lanes to the front makes sky-dead lanes contiguous, and the
-        # kernel's whole-block skip then elides fold AND glue for them
-        # at every (sample, bounce) — on mostly-sky scenes (BASELINE
-        # config 4 measures 42% primary miss) this removes ~40% of all
-        # pair work.  Per-pixel results are bit-identical: each lane
+        # classifies every lane for ALL samples; the kernel consumes the
+        # probe's (t0, prim0) directly (primary_inputs) so the fold is
+        # not repeated.  Per-pixel results are bit-identical: each lane
         # carries its own RNG/ray state through the permutation.
         t0f, p0f = pl.pallas_call(
             functools.partial(
@@ -974,22 +997,42 @@ def trace_physical_nee_pallas(
         )(geom, plane_tab, *[plane2d(f) for f in flat_ins[:6]])
         t0f = t0f.reshape(-1)[:n]
         p0f = p0f.reshape(-1)[:n]
-        alive = (t0f < INFINITE).astype(jnp.int32)
-        n_alive = jnp.sum(alive)
-        # Stable alive-first partition, O(n): position of lane i, then
-        # the gather permutation g with g[pos[i]] = i.
-        pos = jnp.where(
-            alive == 1,
-            jnp.cumsum(alive) - 1,
-            n_alive + jnp.cumsum(1 - alive) - 1,
-        )
-        g = jnp.zeros((n,), jnp.int32).at[pos].set(
+        # Ascending primary depth; INFINITE (sky) sorts last; stable, so
+        # equal-depth lanes keep raster adjacency.
+        g = jnp.argsort(t0f).astype(jnp.int32)
+        pos = jnp.zeros((n,), jnp.int32).at[g].set(
             jnp.arange(n, dtype=jnp.int32)
         )
-        flat_ins = [f[g] for f in flat_ins]
-        primary_ins = [plane2d(t0f[g]), plane2d(p0f[g])]
+        # The kernel's lane layout is NOT flat-contiguous: grid block i
+        # is the column slice [:, i*R:(i+1)*R] of the [8, cols] plane,
+        # i.e. 8 flat segments cols apart.  Sorted ranks must land
+        # contiguously IN A BLOCK (that is the whole point of the sort),
+        # so rank j maps to block j // 8R, sublane (j % 8R) // R, column
+        # offset j % R — and each flat slot therefore reads rank(slot).
+        iota_s = jnp.arange(pad_n, dtype=jnp.int32)
+        s_, c_ = iota_s // cols, iota_s % cols
+        rank = (
+            (c_ // block_r) * (8 * block_r)
+            + s_ * block_r
+            + (c_ % block_r)
+        )
+        valid = rank < n
+        gfull = jnp.where(valid, g[jnp.minimum(rank, n - 1)], 0)
 
-    comp_ins = [plane2d(f) for f in flat_ins] + primary_ins
+        def lay2d(f, fill=0):
+            # Padding slots must be DEAD: t0 fills with INFINITE (a zero
+            # fill would run full garbage paths every sample).
+            return jnp.where(
+                valid, f, jnp.asarray(fill, f.dtype)
+            ).reshape(8, cols)
+
+        sorted_all = permute_packed(flat_ins + [t0f, p0f], gfull, 12)
+        comp_ins = [lay2d(f) for f in sorted_all[:10]] + [
+            lay2d(sorted_all[10], fill=INFINITE),
+            lay2d(sorted_all[11]),
+        ]
+    else:
+        comp_ins = [plane2d(f) for f in flat_ins] + primary_ins
 
     kernel = functools.partial(
         _nee_kernel,
@@ -1028,15 +1071,20 @@ def trace_physical_nee_pallas(
         interpret=interpret,
     )(geom, gatT, plane_tab, light_tab, *comp_ins)
 
-    def unflat(a):
-        f = a.reshape(-1)[:n]
-        # Undo the presort: lane i's result sits at sorted slot pos[i].
-        return f[pos] if pos is not None else f
+    if pos is not None:
+        # Undo the presort: lane i's result sits at rank pos[i], whose
+        # [8, cols] slot is block-contiguous (see rank(slot) above); one
+        # packed row gather recovers all seven outputs.
+        j = pos
+        oidx = (
+            ((j % (8 * block_r)) // block_r) * cols
+            + (j // (8 * block_r)) * block_r
+            + (j % block_r)
+        )
+        flats_out = permute_packed([a.reshape(-1) for a in out], oidx, 7)
+    else:
+        flats_out = [a.reshape(-1)[:n] for a in out]
 
-    rad = jnp.stack([unflat(out[i]) for i in range(3)], axis=-1).reshape(
-        *shape, 3
-    )
-    rng_out = jnp.stack(
-        [unflat(out[3 + i]) for i in range(4)], axis=-1
-    ).reshape(*shape, 4)
+    rad = jnp.stack(flats_out[:3], axis=-1).reshape(*shape, 3)
+    rng_out = jnp.stack(flats_out[3:7], axis=-1).reshape(*shape, 4)
     return rad, rng_out
