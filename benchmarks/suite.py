@@ -381,8 +381,54 @@ def config6():
     )
 
 
+def config7():
+    """Physical/NEE gradient step (VERDICT r3 item 2): inverse rendering
+    against the PRODUCTION estimator on the config-4 scene class (1000
+    spheres), through the fused dual-query bounce loop
+    (sphere_dual_query's custom VJP); whole SGD step under one jit.
+
+    Measured context (v5e): pallas 24.3 vs xla 18.5 Mrays/s at this
+    shape — the dual-query VJP pays only where the sphere fold is heavy
+    (on the 8-sphere Cornell scene xla wins, 38.9 vs 35.4); the
+    remaining gap to config 5's parity-gradient row is the XLA autodiff
+    glue, i.e. the missing NEE-megakernel reverse sweep."""
+    import haskell_path_tracer_tpu as hpt
+    from haskell_path_tracer_tpu.diff import grad as G
+    from haskell_path_tracer_tpu.models.objects import Camera
+    from haskell_path_tracer_tpu.ops.rng import gen_seeds
+
+    w, h, b = 512, 512, 4
+    scene = big_scene(1000)
+    cam = Camera.create([0.0, 2.0, 0.0], [0.2, 0.0, 0.0], 90.0)
+    rng = gen_seeds((h, w), seed=1)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    params = G.scene_to_params(scene)
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    vg = jax.jit(
+        jax.value_and_grad(
+            lambda p: G.image_loss(
+                p, scene, cam, target, rng, num_bounces=b,
+                backend=backend, estimator="physical",
+            )
+        )
+    )
+    k, lr = 4, 1e-6
+
+    @jax.jit
+    def sgd_step(p):
+        _, g = vg(p)
+        return jax.tree_util.tree_map(lambda a, d: a - lr * d, p, g)
+
+    dt1, dtk = _pipeline(sgd_step, params, k)
+    _report(7, f"invrender_phys_nee_grad_big1000_512x512x1sppx4b_{backend}",
+            w * h * b * 2 * k, dtk,
+            {"pipeline": k, "single_ms": round(dt1 * 1e3, 2),
+             "note": "fwd+bwd physical/NEE step; bsdf+shadow segments "
+                     "counted once (bench.py rule)"})
+
+
 def main():
-    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5, 6]
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5, 6, 7]
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
     for n in which:
         try:

@@ -63,7 +63,9 @@ def render_radiance(
     NEE estimator (render/nee.py) — the production light transport,
     whose area-sampling term (A cos / d^2) carries the physically
     meaningful geometry gradients (e.g. emitter vertices; FD-validated
-    in tests/test_grad.py).  The physical estimator is XLA-only.
+    in tests/test_grad.py).  With `backend="pallas"` the physical
+    estimator runs the fused dual-query bounce loop on TPU
+    (sphere+plane scenes; sphere_dual_query's custom VJP).
 
     Averages `spp` samples, each advancing the RNG state; the state itself
     is treated as a constant (no tangent), so the function is a
@@ -88,17 +90,24 @@ def render_radiance(
     rays = primary_rays(camera, width, height, row_offset, full_height)
 
     if estimator == "physical":
-        if backend != "xla":
-            raise ValueError(
-                "estimator='physical' gradients run on the XLA path "
-                "(the Pallas NEE megakernel is forward-only)"
-            )
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
         from ..render.nee import trace_physical
+
+        # backend="pallas": the fused dual-query bounce loop — ONE Pallas
+        # pass over the sphere table per bounce answers both the next-ray
+        # nearest hit and the shadow occlusion, and its custom VJP
+        # (ops/pallas_intersect.py:sphere_dual_query) differentiates the
+        # winner's closed-form distance with the same detach semantics as
+        # the XLA path.  Requires a sphere+plane scene (the fused path's
+        # contract); gradients match the XLA path (tests/test_grad.py).
+        fused = backend == "pallas"
 
         def sample_p(carry, _):
             rng = carry
             radiance, rng = trace_physical(
-                scene, rays, rng, num_bounces, nee=True, fused=False
+                scene, rays, rng, num_bounces, nee=True, fused=fused,
+                interpret=interpret,
             )
             return rng, radiance
 
@@ -256,6 +265,7 @@ def image_loss(
     backend: str = "xla",
     has_dielectric: bool | None = None,
     estimator: str = "parity",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """MSE between the rendered radiance image and a target — the inverse
     rendering objective."""
@@ -263,7 +273,7 @@ def image_loss(
     h, w = target.shape[:2]
     img = render_radiance(
         scene, camera, rng_state, w, h, num_bounces, spp, backend,
-        has_dielectric, estimator=estimator,
+        has_dielectric, estimator=estimator, interpret=interpret,
     )
     return jnp.mean((img - target) ** 2)
 

@@ -201,6 +201,7 @@ def train_step_sharded(
     backend: str = "xla",
     has_dielectric: bool | None = None,
     interpret: bool = False,
+    estimator: str = "parity",
 ):
     """One inverse-rendering SGD step with rays + grads sharded.
 
@@ -214,6 +215,10 @@ def train_step_sharded(
     kernel the headline bench measures, now under the psum all-reduce;
     "xla" is the portable rematerialized path.  The north star's "psum
     overlapped with the backward bounce sweep" is this combination.
+
+    `estimator="physical"` trains against the corrected-BRDF + NEE
+    estimator; with backend="pallas" each block differentiates through
+    the fused dual-query bounce loop (sphere_dual_query's custom VJP).
     """
     full_height = target.shape[0]
     n_tile = mesh.shape[TILE_AXIS]
@@ -230,7 +235,7 @@ def train_step_sharded(
                 scene, camera, rng_block, width, block_h, num_bounces,
                 spp=1, backend=backend, has_dielectric=has_dielectric,
                 row_offset=row0, full_height=full_height,
-                interpret=interpret,
+                interpret=interpret, estimator=estimator,
             )
             return jnp.sum((rad - tgt_block) ** 2) / denom
 

@@ -543,6 +543,7 @@ def trace_physical(
     nee: bool = True,
     fused: bool | None = None,
     kinds=None,
+    interpret: bool = False,
 ):
     """Physically-based path trace; returns (radiance, new rng).
 
@@ -554,6 +555,8 @@ def trace_physical(
     `fused=None` auto-routes large sphere scenes on TPU through the
     dual-query Pallas bounce loop (`_trace_physical_fused` — one sphere
     fold per bounce instead of two); True/False forces the choice.
+    `interpret` runs the fused path's Pallas kernel in interpret mode
+    (CPU tests of the physical gradient path).
     """
     if kinds is None:
         kinds = _present_kinds(scene)
@@ -562,7 +565,8 @@ def trace_physical(
     if fused:
         assert nee, "the fused path is the NEE estimator"
         return _trace_physical_fused(
-            scene, rays, rng_state, num_bounces, kinds=kinds
+            scene, rays, rng_state, num_bounces, kinds=kinds,
+            interpret=interpret,
         )
     n_spheres = scene.spheres.count
     # Primitives NEE can never sample as lights: planes (infinite extent)

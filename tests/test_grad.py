@@ -488,3 +488,92 @@ def test_image_loss_physical_estimator():
     np.testing.assert_allclose(
         np.asarray(params.tri_illum), np.asarray(tp.tri_illum), rtol=0.1
     )
+
+
+def test_physical_pallas_gradient_matches_xla():
+    """The fused dual-query physical/NEE gradient path (backend="pallas",
+    sphere_dual_query's custom VJP, interpret mode) produces the same
+    loss and gradients as the XLA physical path (VERDICT r3 item 2: the
+    production estimator gets a fast gradient path)."""
+    scene = small_scene()
+    cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
+    rng = gen_seeds((H, W), seed=13)
+    params = G.scene_to_params(scene)
+    target = jnp.zeros((H, W, 3), jnp.float32) + 0.2
+
+    out = {}
+    for backend in ("xla", "pallas"):
+        loss = lambda p, b=backend: G.image_loss(
+            p, scene, cam, target, rng, num_bounces=BOUNCES,
+            estimator="physical", backend=b, interpret=True,
+        )
+        out[backend] = jax.value_and_grad(loss)(params)
+
+    np.testing.assert_allclose(
+        float(out["xla"][0]), float(out["pallas"][0]), rtol=1e-5
+    )
+    nonzero_fields = 0
+    for field in G.SceneParams._fields:
+        a = np.asarray(getattr(out["xla"][1], field))
+        b = np.asarray(getattr(out["pallas"][1], field))
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6, err_msg=field)
+        nonzero_fields += int(a.size > 0 and np.abs(a).max() > 0)
+    assert nonzero_fields >= 5  # the comparison is not vacuous
+
+
+def big_sphere_scene(n=1000):
+    """1000-sphere scene (the BASELINE config-4 class) for the physical
+    gradient FD check."""
+    rng = np.random.default_rng(7)
+    pos = rng.uniform([-30, -2.5, -60], [30, 10, -8], (n, 3))
+    radius = rng.uniform(0.2, 0.9, n)
+    illum = np.where(rng.random(n) < 0.01, 50.0, 0.0)
+    mats = make_materials(
+        [
+            (rng.uniform(0.2, 0.9, 3).tolist(), float(illum[i]),
+             BRDF_MATTE, 1.0)
+            for i in range(n)
+        ]
+    )
+    s = make_spheres(pos.tolist(), radius.tolist(), mats)
+    p = make_planes(
+        [[0.0, -3.0, 0.0]],
+        [[0.0, 1.0, 0.0]],
+        make_materials([([0.6, 0.6, 0.6], 0.0, BRDF_MATTE, 1.0)]),
+    )
+    return Scene(spheres=s, planes=p)
+
+
+def test_physical_pallas_gradient_fd_1k_spheres():
+    """FD check of the fused physical gradient path on a 1000-sphere
+    scene (VERDICT r3 item 2 'done' criterion).  The objective is the
+    mean radiance — LINEAR in an emitter's illuminance — so a central
+    difference is exact up to f32 forward rounding and validates the
+    dual-query VJP end to end at config-4 scale."""
+    scene = big_sphere_scene()
+    cam = Camera.create([0.0, 2.0, 0.0], [0.2, 0.0, 0.0], 90.0)
+    rng = gen_seeds((H, W), seed=3)
+    params = G.scene_to_params(scene)
+    light = int(np.argmax(np.asarray(params.sphere_illum)))
+
+    def loss(p):
+        s = G.params_to_scene(p, scene)
+        img = G.render_radiance(
+            s, cam, rng, W, H, num_bounces=2, estimator="physical",
+            backend="pallas", interpret=True,
+        )
+        return jnp.mean(img)
+
+    g = jax.grad(loss)(params)
+    ad = float(g.sphere_illum[light])
+    eps = 0.5
+    arr = np.asarray(params.sphere_illum).copy()
+    arr_p, arr_m = arr.copy(), arr.copy()
+    arr_p[light] += eps
+    arr_m[light] -= eps
+    fd = (
+        float(loss(params._replace(sphere_illum=jnp.asarray(arr_p))))
+        - float(loss(params._replace(sphere_illum=jnp.asarray(arr_m))))
+    ) / (2 * eps)
+    assert ad != 0.0
+    np.testing.assert_allclose(ad, fd, rtol=2e-2)

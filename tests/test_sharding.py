@@ -224,3 +224,41 @@ def test_physical_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ref.color), np.asarray(out.color), rtol=1e-5, atol=1e-5
     )
+
+
+def test_train_step_sharded_physical_matches_single_device():
+    """estimator="physical" reaches the distributed trainer (VERDICT r3
+    item 2): the sharded physical/NEE gradient step — through BOTH the
+    XLA and the fused dual-query Pallas backends (interpret) — matches
+    the single-device physical gradients."""
+    scene, cam = world.main_scene(), world.initial_camera()
+    mesh = M.make_mesh()
+    w, h = 128, 64
+    params = G.scene_to_params(scene)
+    rng = gen_seeds((h, w), seed=6)
+    target = jnp.zeros((h, w, 3), jnp.float32) + 0.1
+
+    loss_fn = lambda p: G.image_loss(
+        p, scene, cam, target, rng, num_bounces=3, estimator="physical"
+    )
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+    expected = jax.tree_util.tree_map(
+        lambda p, g: p - 0.1 * g, params, ref_grads
+    )
+
+    for backend in ("xla", "pallas"):
+        new_params, loss = train_step_sharded(
+            params, scene, cam, target, rng, mesh, num_bounces=3, lr=0.1,
+            backend=backend, interpret=True, estimator="physical",
+        )
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(new_params),
+            jax.tree_util.tree_leaves(expected),
+        ):
+            # physical geometry grads reach ~1e3 with heavy cancellation;
+            # per-tile partial sums + psum reorder the f32 reduction vs
+            # the single-device mean, so tolerance is a bit looser here.
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+            )
