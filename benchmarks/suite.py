@@ -312,43 +312,60 @@ def config4():
 
 
 def config5():
+    """Inverse rendering at BASELINE.json's specified 4K shape
+    (3840x2160; multi-host is exercised by dryrun_multichip — one chip
+    here), plus the round-3 512x512 shape kept as a latency row.  At 4K
+    a step is ~33 M segments, enough to saturate the fused fwd+bwd
+    megakernel; 512x512 (1 M segments) is dispatch-floor-bound through
+    the ~25 ms tunnel launch and is reported for latency, not
+    throughput (VERDICT r3 item 3)."""
     import haskell_path_tracer_tpu as hpt
     from haskell_path_tracer_tpu.diff import grad as G
     from haskell_path_tracer_tpu.ops.rng import gen_seeds
 
-    w, h, b = 512, 512, 4
     scene, cam = cornell_scene(), hpt.initial_camera()
-    rng = gen_seeds((h, w), seed=1)
-    target = jnp.zeros((h, w, 3), jnp.float32)
     params = G.scene_to_params(scene)
     # The fused differentiable Pallas megakernel on TPU (fwd + in-VMEM bwd
     # sweep, ops/pallas_megakernel_vjp.py); rematerialized XLA elsewhere.
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    vg = jax.jit(
-        jax.value_and_grad(
+    lr = 1e-6
+
+    def make_step(w, h, b):
+        rng = gen_seeds((h, w), seed=1)
+        target = jnp.zeros((h, w, 3), jnp.float32)
+        vg = jax.value_and_grad(
             lambda p: G.image_loss(
                 p, scene, cam, target, rng, num_bounces=b, backend=backend
             )
         )
-    )
-    k, lr = 16, 1e-6
 
-    # The WHOLE step under one jit: with the full 21-leaf SceneParams, a
-    # python-side tree_map update is 21 tiny launches/step — enough to
-    # become launch-bound through the tunneled chip.
-    @jax.jit
-    def sgd_step(p):
-        _, g = vg(p)
-        return jax.tree_util.tree_map(lambda a, d: a - lr * d, p, g)
+        # The WHOLE step under one jit: with the full 21-leaf
+        # SceneParams, a python-side tree_map update is 21 tiny
+        # launches/step — launch-bound through the tunneled chip.
+        @jax.jit
+        def sgd_step(p):
+            _, g = vg(p)
+            return jax.tree_util.tree_map(lambda a, d: a - lr * d, p, g)
 
-    dt1, dtk = _pipeline(sgd_step, params, k)
+        return sgd_step
+
     # Ray accounting: segments counted ONCE per fwd+bwd step (the
     # backward re-walk is cost, not credit) — same rule as bench.py's
     # headline metric, so the two numbers are directly comparable.
-    _report(5, f"invrender_grad_512x512x1sppx4b_{backend}",
+    w, h, b, k = 3840, 2160, 4, 4
+    dt1, dtk = _pipeline(make_step(w, h, b), params, k)
+    _report(5, f"invrender_grad_4k_3840x2160x1sppx4b_{backend}",
             w * h * b * k, dtk,
             {"pipeline": k, "single_ms": round(dt1 * 1e3, 2),
              "note": "fwd+bwd step; segments counted once (bench.py rule)"})
+
+    w, h, b, k = 512, 512, 4, 16
+    dt1, dtk = _pipeline(make_step(w, h, b), params, k)
+    _report(5, f"invrender_grad_512x512x1sppx4b_{backend}",
+            w * h * b * k, dtk,
+            {"pipeline": k, "single_ms": round(dt1 * 1e3, 2),
+             "note": "latency row (dispatch-floor-bound); "
+                     "segments counted once"})
 
 
 def config6():
