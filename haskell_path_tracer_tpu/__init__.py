@@ -6,7 +6,7 @@ progressive Monte-Carlo path tracer with
 
   * an inline megakernel integrator (fused `lax.fori_loop` bounce loop) and
     a wavefront integrator (fixed-capacity ray queues with stream
-    compaction) — the reference's `Inline` / `Streams` algorithm pair;
+    per-lane split stacks) — the reference's `Inline` / `Streams` algorithm pair;
   * per-pixel SFC32 RNG threading with periodic reseeding;
   * progressive accumulation with camera-motion invalidation;
   * differentiable rendering (gradients w.r.t. material / emission /

@@ -89,10 +89,13 @@ class Renderer:
                     num_bounces=config.bounces,
                     nee=config.nee,
                 )
-                # The fused NEE megakernel (ops/pallas_nee.py) needs the
-                # static emissive-sphere index tuple; it rides in as a
-                # hashable static argument like `kinds` below.
-                self._takes_light_idx = True
+            # The fused NEE megakernel (ops/pallas_nee.py) needs the
+            # static emissive-sphere index tuple; it rides in as a
+            # hashable static argument like `kinds` below.  BOTH samplers
+            # route through the kernel now (the threefry path derives its
+            # per-lane SFC32 states statelessly, then runs the same
+            # machinery).
+            self._takes_light_idx = True
             # BRDF-kind elision needs the concrete (host-side) scene;
             # inside jit the materials are tracers, so the static kind
             # set rides in as a hashable static argument.

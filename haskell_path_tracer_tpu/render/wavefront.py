@@ -1,4 +1,4 @@
-"""Wavefront integrator: fixed-capacity ray queues with stream compaction.
+"""Wavefront integrator: fixed-capacity ray queues.
 
 TPU-native redesign of the reference's `Streams` algorithm
 (/root/reference/src/Scene/Trace.hs:141-191, 272-331).  The reference leans
@@ -8,10 +8,14 @@ expansion/compaction, which is exactly what broke its GPU backend
 dynamic ray population lives in a *fixed-capacity queue*:
 
   * the ray-state SoA (`origin, direction, pixel, throughput, accum, rng`)
-    occupies Q slots; a live count + front-compaction replace dynamic
-    shapes — dead rays are swept to the back by a stable compaction
-    permutation, keeping live rays dense at the front (required by the
-    splitting integrator's enqueue);
+    occupies Q slots; a live count replaces dynamic shapes, and ray
+    splitting expands through per-lane DFS stacks
+    (`render_sample_wavefront_split`) rather than queue growth.  (A
+    stream-compaction pass keeping live lanes front-dense — the literal
+    `expand` counterpart — was built, user-wired and priced in round 4:
+    the multi-operand-sort permutation lost to plain whole-queue
+    processing at every reachable config on v5e, 141.6 vs 86.5 ms in its
+    best regime, so it was deleted; see PERF.md "Wavefront compaction".);
   * the device-resident bounce loop is `lax.while_loop`, the analog of the
     reference's `awhile` (Trace.hs:142-150), terminating when the live
     count hits zero or the bounce cap is reached;
@@ -50,7 +54,6 @@ from ..models.camera import primary_rays
 from ..models.objects import BRDF_DIELECTRIC, Accumulator, Camera, Scene
 from ..ops import brdf as brdf_ops
 from ..ops import rng as rng_ops
-from ..ops.compaction import compact_queue
 from ..ops.intersect import EPSILON, nearest_hit
 
 
@@ -103,35 +106,30 @@ def render_sample_wavefront(
     num_bounces: int = 15,
     russian_roulette: bool = False,
     rr_start: int = 3,
-    compact: bool = False,
     return_stats: bool = False,
     row_offset=0,
     full_height: int | None = None,
-    queue_tile: int = 2048,
 ):
     """One progressive sample via the wavefront queue.
 
-    `compact=False` (default): lanes keep pixel order and the whole
-    queue is processed every bounce; right for shallow bounce budgets,
-    where the compaction permutation costs more than it saves (measured:
-    3x the per-sample time at 512x512 / 15 bounces).  `compact=True`
-    maintains the live-dense invariant and feeds the QUEUE-FRONT
-    CONSUMER: each bounce walks the queue in `queue_tile`-lane tiles and
-    `lax.cond`-skips every tile past the live count — intersect/shade
-    work per bounce is then proportional to the live population, not the
-    queue capacity (the payoff regime: deep bounce caps or Russian
-    roulette, where occupancy collapses after a few bounces; the
-    telemetry that prices this is `return_stats`).
+    Lanes keep pixel order and the whole queue is processed every bounce
+    (the loop still drains early when the population hits zero).  A
+    stream-compacted variant (live-dense invariant + a tile-skipping
+    queue-front consumer) was built, wired to `--compact`, and priced on
+    v5e in round 4: 141.6 ms vs 86.5 ms per 4-sample batch at its MOST
+    favorable regime (512x512, 15 bounces, Russian roulette) — the
+    compaction permutation (multi-operand sort + lane movement) costs
+    more than the skipped intersect/shade work at every reachable
+    config, so the path was deleted (PERF.md "Wavefront compaction").
+    The production answer to collapsing occupancy is the NEE
+    megakernel's path regeneration (ops/pallas_nee.py), which reuses
+    dying lanes in-register instead of moving live ones through HBM.
 
     `return_stats=True` additionally returns :class:`WavefrontStats` with
     per-bounce live-ray occupancy.
     """
     height, width = acc.color.shape[:2]
     num_pixels = height * width
-    if compact and num_pixels % queue_tile:
-        # Tile skipping needs a tile-aligned queue; fall back to
-        # whole-queue processing (still compacted, same results).
-        queue_tile = num_pixels
 
     rays = primary_rays(camera, width, height, row_offset, full_height)
     state = _QueueState(
@@ -186,81 +184,19 @@ def render_sample_wavefront(
 
     def body(s: _QueueState) -> _QueueState:
         occupancy = s.occupancy.at[s.bounce].set(s.count)
-        if compact and queue_tile < num_pixels:
-            # Queue-front consumer: tiles wholly past the live count
-            # hold only dead lanes (live-dense invariant), so one scalar
-            # cond per tile skips their intersect+shade entirely.
-            n_tiles = num_pixels // queue_tile
-
-            def tile_step(carry, i):
-                ray_o, ray_d, thpt, accum, rng, n_alive = carry
-                start = i * queue_tile
-
-                def work(c):
-                    ray_o, ray_d, thpt, accum, rng, n_alive = c
-                    sl = lambda a: jax.lax.dynamic_slice_in_dim(
-                        a, start, queue_tile
-                    )
-                    o2, d2, t2, a2, r2, alive = shade_slab(
-                        s.bounce, sl(ray_o), sl(ray_d), sl(thpt),
-                        sl(accum), sl(rng),
-                    )
-                    up = lambda a, v: jax.lax.dynamic_update_slice_in_dim(
-                        a, v, start, 0
-                    )
-                    return (
-                        up(ray_o, o2), up(ray_d, d2), up(thpt, t2),
-                        up(accum, a2), up(rng, r2),
-                        n_alive + jnp.sum(alive).astype(jnp.int32),
-                    )
-
-                carry = jax.lax.cond(
-                    start < s.count, work, lambda c: c, carry
-                )
-                return carry, None
-
-            (ray_o, ray_d, thpt, accum, rng, n_alive), _ = jax.lax.scan(
-                tile_step,
-                (s.ray_o, s.ray_d, s.throughput, s.accum, s.rng,
-                 jnp.zeros((), jnp.int32)),
-                jnp.arange(n_tiles, dtype=jnp.int32),
-            )
-            new = s._replace(
-                bounce=s.bounce + 1,
-                count=n_alive,
-                ray_o=ray_o,
-                ray_d=ray_d,
-                throughput=thpt,
-                accum=accum,
-                rng=rng,
-                occupancy=occupancy,
-            )
-        else:
-            o2, d2, t2, a2, r2, alive = shade_slab(
-                s.bounce, s.ray_o, s.ray_d, s.throughput, s.accum, s.rng
-            )
-            new = s._replace(
-                bounce=s.bounce + 1,
-                count=jnp.sum(alive).astype(jnp.int32),
-                ray_o=o2,
-                ray_d=d2,
-                throughput=t2,
-                accum=a2,
-                rng=r2,
-                occupancy=occupancy,
-            )
-        if compact:
-            live = ~linalg.near_zero(new.throughput)
-            (o2, d2, px2, th2, ac2, rng3), _ = compact_queue(
-                (new.ray_o, new.ray_d, new.pixel, new.throughput, new.accum,
-                 new.rng),
-                live,
-            )
-            new = new._replace(
-                ray_o=o2, ray_d=d2, pixel=px2, throughput=th2, accum=ac2,
-                rng=rng3,
-            )
-        return new
+        o2, d2, t2, a2, r2, alive = shade_slab(
+            s.bounce, s.ray_o, s.ray_d, s.throughput, s.accum, s.rng
+        )
+        return s._replace(
+            bounce=s.bounce + 1,
+            count=jnp.sum(alive).astype(jnp.int32),
+            ray_o=o2,
+            ray_d=d2,
+            throughput=t2,
+            accum=a2,
+            rng=r2,
+            occupancy=occupancy,
+        )
 
     final = jax.lax.while_loop(cond, body, state)
 

@@ -449,3 +449,41 @@ def test_exr_zip_and_half_roundtrip(tmp_path):
                 )
     except ImportError:
         pass
+
+
+def test_threefry_replay_and_kernel_route():
+    """Stateless semantics (VERDICT r3 item 4): (1) a batch replays
+    bit-exactly from (seed, iteration) alone; (2) the threefry sampler
+    reaches the fused NEE megakernel — kernel (interpret) and XLA
+    stateless batches agree lane-for-lane (the kernel consumes the same
+    derived SFC32 streams)."""
+    import jax
+
+    from haskell_path_tracer_tpu.models import world
+    from haskell_path_tracer_tpu.render.integrator import make_accumulator
+    from haskell_path_tracer_tpu.render.nee import (
+        render_batch_physical_stateless,
+    )
+
+    scene, cam = world.main_scene(), world.initial_camera()
+
+    def batch(acc, fused, interpret=False):
+        return render_batch_physical_stateless(
+            scene, cam, acc, spp=2, num_bounces=3, fused=fused,
+            interpret=interpret,
+        )
+
+    # Replay: same (seed, iterations) -> bit-identical radiance.
+    a = batch(make_accumulator(16, 16, seed=3), fused=False)
+    b = batch(make_accumulator(16, 16, seed=3), fused=False)
+    np.testing.assert_array_equal(np.asarray(a.color), np.asarray(b.color))
+    # Different seed or iteration -> different stream.
+    c = batch(make_accumulator(16, 16, seed=4), fused=False)
+    assert np.abs(np.asarray(a.color) - np.asarray(c.color)).max() > 1e-6
+
+    # Kernel route: fused (interpret) == XLA, lane for lane.
+    k = batch(make_accumulator(16, 16, seed=3), fused=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(k.color), np.asarray(a.color), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(k.rng), np.asarray(a.rng))

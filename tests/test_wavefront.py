@@ -27,7 +27,6 @@ def _compare(
     samples=2,
     seed=5,
     russian_roulette=False,
-    compact=True,
 ):
     acc_i = make_accumulator(w, h, seed=seed)
     acc_w = make_accumulator(w, h, seed=seed)
@@ -38,7 +37,7 @@ def _compare(
         )
         acc_w = render_sample_wavefront(
             scene, camera, acc_w, num_bounces=bounces,
-            russian_roulette=russian_roulette, compact=compact,
+            russian_roulette=russian_roulette,
         )
     np.testing.assert_array_equal(
         np.asarray(acc_i.rng), np.asarray(acc_w.rng), err_msg="rng mismatch"
@@ -54,17 +53,6 @@ def _compare(
 
 def test_wavefront_equals_inline_main_scene():
     _compare(world.main_scene(), world.initial_camera(), 32, 24, bounces=6)
-
-
-def test_wavefront_equals_inline_no_compaction():
-    _compare(
-        world.main_scene(),
-        world.initial_camera(),
-        16,
-        12,
-        bounces=4,
-        compact=False,
-    )
 
 
 def test_wavefront_equals_inline_russian_roulette():
@@ -179,48 +167,3 @@ def test_wavefront_split_stats_can_grow():
     np.testing.assert_array_equal(np.asarray(ref.color), np.asarray(out.color))
 
 
-def test_wavefront_tiled_queue_front_consumer_equals_inline():
-    """compact=True with a small queue_tile walks the queue in tiles and
-    cond-skips tiles past the live count (the queue-front consumer) —
-    results identical to the full-width inline integrator, including
-    under Russian roulette (where occupancy collapses and the skipping
-    actually engages)."""
-    scene, cam = world.main_scene(), world.initial_camera()
-    w, h, bounces = 32, 24, 8  # 768 lanes = 6 tiles of 128
-    for rr in (False, True):
-        acc_i = make_accumulator(w, h, seed=11)
-        acc_w = make_accumulator(w, h, seed=11)
-        acc_i = render_sample_inline(
-            scene, cam, acc_i, num_bounces=bounces, russian_roulette=rr
-        )
-        acc_w = render_sample_wavefront(
-            scene, cam, acc_w, num_bounces=bounces, russian_roulette=rr,
-            compact=True, queue_tile=128,
-        )
-        np.testing.assert_array_equal(
-            np.asarray(acc_i.rng), np.asarray(acc_w.rng)
-        )
-        np.testing.assert_allclose(
-            np.asarray(acc_i.color), np.asarray(acc_w.color),
-            rtol=1e-6, atol=1e-6,
-        )
-
-
-def test_wavefront_tiled_stats_match_untiled():
-    """Occupancy telemetry is identical between the tiled queue-front
-    consumer and whole-queue processing."""
-    scene, cam = world.main_scene(), world.initial_camera()
-    w, h, bounces = 32, 24, 6
-    acc_a = make_accumulator(w, h, seed=3)
-    acc_b = make_accumulator(w, h, seed=3)
-    _, st_a = render_sample_wavefront(
-        scene, cam, acc_a, num_bounces=bounces, compact=True,
-        queue_tile=128, return_stats=True,
-    )
-    _, st_b = render_sample_wavefront(
-        scene, cam, acc_b, num_bounces=bounces, compact=True,
-        return_stats=True,
-    )
-    np.testing.assert_array_equal(
-        np.asarray(st_a.occupancy), np.asarray(st_b.occupancy)
-    )
