@@ -211,11 +211,24 @@ def config1():
             s, c, a, spp=spp, num_bounces=b, has_dielectric=False
         )
     )
-    k = 16  # dispatch-latency-bound config: deep pipeline amortizes it
+    # 0.5 M segments/dispatch behind a ~25-30 ms tunnel launch floor:
+    # the config is floor-dominated at any shallow pipeline (round 3's
+    # k=16 scored 0.53x; k=1 is 0.03x).  A deep chain both amortizes the
+    # floor AND yields the floor-free device rate as the marginal
+    # per-step slope — measured 191.6 us/step between k=256 and k=512
+    # = 2.74 Grays/s on-device (VERDICT r3 item 8 decomposition; PERF.md
+    # "Config 1").
+    k = 256
     dt1, dtk = _pipeline(lambda a: step(scene, cam, a), acc, k, n=3)
+    k2, dt2 = 512, None
+    dt2 = _pipeline(lambda a: step(scene, cam, a), acc, k2, n=1)[1]
+    slope = (dt2 - dtk) / (k2 - k)
     _report(
         1, "parity_256x256x4sppx2b_auto", w * h * spp * b * k, dtk,
-        {"pipeline": k, "single_ms": round(dt1 * 1e3, 2)},
+        {"pipeline": k, "single_ms": round(dt1 * 1e3, 2),
+         "device_rays_per_s": round(w * h * spp * b / slope),
+         "note": "device_rays_per_s = floor-free marginal rate from the "
+                 "k=256..512 chain slope"},
     )
 
 
