@@ -821,7 +821,7 @@ def trace_physical_nee_pallas(
     block_skip: bool = True,
     unroll: int = 32,
     presort: bool | None = None,
-    regenerate: bool = True,
+    regenerate: bool | None = None,
 ):
     """Fused physical/NEE trace: (radiance_sum over `spp` samples
     [H, W, 3], final rng [H, W, 4]).
@@ -832,11 +832,16 @@ def trace_physical_nee_pallas(
     (`scene_light_indices`); pass it from OUTSIDE jit for traced scenes
     — positions/materials may be traced, counts may not.
 
-    `regenerate` (default True) runs the path-regeneration discipline:
-    each lane streams through its samples continuously, restarting from
-    the register-resident primary hit the moment a path dies, so no
-    fold is spent on dead lanes.  False = the legacy spp x bounce loop.
-    Lane-for-lane bit-identical either way.
+    `regenerate` (None = auto: large sphere counts) runs the
+    path-regeneration discipline: each lane streams through its samples
+    continuously, restarting from the register-resident primary hit the
+    moment a path dies, so no fold is spent on dead lanes.  False = the
+    legacy spp x bounce loop.  Lane-for-lane bit-identical either way.
+    Auto mirrors `presort`: on big scenes (fold-dominated, paths dying
+    into sky) it is worth 2x+ (BASELINE config 4: 200 -> 403 Mrays/s
+    with the depth sort); on Cornell-class scenes where occupancy stays
+    high it costs ~4% of bookkeeping (config 6) — so small scenes keep
+    the legacy loops.
 
     `presort` (None = auto: large sphere counts) runs a primary-probe
     kernel and depth-sorts lanes by primary-hit distance (sky last), so
@@ -938,6 +943,11 @@ def trace_physical_nee_pallas(
     )
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
+    if regenerate is None:
+        # Auto: regeneration pays where the fold dominates and paths die
+        # early (large scenes); on Cornell-class scenes it costs ~4% of
+        # per-step bookkeeping (measured, config 6) with nothing to skip.
+        regenerate = P >= 64
     if presort is None:
         # Sort when the fold dominates (large P).  Under regeneration a
         # block's step count is its BUSIEST lane's total path length:
