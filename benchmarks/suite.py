@@ -414,18 +414,20 @@ def config6():
 def config7():
     """Physical/NEE gradient step (VERDICT r3 item 2): inverse rendering
     against the PRODUCTION estimator on the config-4 scene class (1000
-    spheres), through the fused dual-query bounce loop
-    (sphere_dual_query's custom VJP); whole SGD step under one jit.
+    spheres); whole SGD step under one jit.
 
-    Measured context (v5e): pallas 24.3 vs xla 18.5 Mrays/s at this
-    shape — the dual-query VJP pays only where the sphere fold is heavy
-    (on the 8-sphere Cornell scene xla wins, 38.9 vs 35.4); the
-    remaining gap to config 5's parity-gradient row is the XLA autodiff
-    glue, i.e. the missing NEE-megakernel reverse sweep."""
+    Round 4: with `light_idx` passed statically this runs the NEE
+    megakernel's in-kernel reverse sweep (ops/pallas_nee_vjp.py —
+    forward = the production regen/presort kernel, backward = in-VMEM
+    replay with the sphere fold detached).  Round-3 context: per-bounce
+    dual-query VJP dispatch measured 24.3 (pallas) vs 18.5 (xla)
+    Mrays/s at this shape."""
     import haskell_path_tracer_tpu as hpt
     from haskell_path_tracer_tpu.diff import grad as G
     from haskell_path_tracer_tpu.models.objects import Camera
+    from haskell_path_tracer_tpu.ops.pallas_nee import scene_light_indices
     from haskell_path_tracer_tpu.ops.rng import gen_seeds
+    from haskell_path_tracer_tpu.render.nee import _present_kinds
 
     w, h, b = 512, 512, 4
     scene = big_scene(1000)
@@ -434,11 +436,14 @@ def config7():
     target = jnp.zeros((h, w, 3), jnp.float32)
     params = G.scene_to_params(scene)
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    light_idx = scene_light_indices(scene) if backend == "pallas" else None
+    kinds = _present_kinds(scene)
     vg = jax.jit(
         jax.value_and_grad(
             lambda p: G.image_loss(
                 p, scene, cam, target, rng, num_bounces=b,
                 backend=backend, estimator="physical",
+                light_idx=light_idx, kinds=kinds,
             )
         )
     )

@@ -55,6 +55,8 @@ def render_radiance(
     full_height: int | None = None,
     interpret: bool = False,
     estimator: str = "parity",
+    light_idx: tuple | None = None,
+    kinds=None,
 ) -> jnp.ndarray:
     """Differentiable expected-radiance image [H, W, 3].
 
@@ -64,8 +66,13 @@ def render_radiance(
     whose area-sampling term (A cos / d^2) carries the physically
     meaningful geometry gradients (e.g. emitter vertices; FD-validated
     in tests/test_grad.py).  With `backend="pallas"` the physical
-    estimator runs the fused dual-query bounce loop on TPU
-    (sphere+plane scenes; sphere_dual_query's custom VJP).
+    estimator runs fused TPU kernels: when `light_idx` (the static
+    emissive-sphere tuple, `scene_light_indices` computed OUTSIDE jit) is
+    given on a sphere+plane scene, the whole fwd+bwd spp x bounce loop
+    runs in VMEM through the NEE megakernel's in-kernel reverse sweep
+    (ops/pallas_nee_vjp.py — the fast path, ~an order of magnitude over
+    per-bounce dispatch); otherwise each bounce goes through the fused
+    dual-query kernel (sphere_dual_query's custom VJP).
 
     Averages `spp` samples, each advancing the RNG state; the state itself
     is treated as a constant (no tangent), so the function is a
@@ -93,6 +100,24 @@ def render_radiance(
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         from ..render.nee import trace_physical
+
+        if (
+            backend == "pallas"
+            and light_idx is not None
+            and scene.boxes.count == 0
+            and scene.triangles.count == 0
+            and scene.spheres.count > 0
+        ):
+            # The fast path: forward = the production fused NEE megakernel
+            # (presort + path regeneration), backward = its in-VMEM replay
+            # + reverse sweep with the sphere fold detached.
+            from ..ops.pallas_nee_vjp import trace_physical_nee_pallas_diff
+
+            rad_sum, _ = trace_physical_nee_pallas_diff(
+                scene, rays, rng_state, num_bounces=num_bounces, spp=spp,
+                light_idx=light_idx, kinds=kinds, interpret=interpret,
+            )
+            return rad_sum / spp
 
         # backend="pallas": the fused dual-query bounce loop — ONE Pallas
         # pass over the sphere table per bounce answers both the next-ray
@@ -266,6 +291,8 @@ def image_loss(
     has_dielectric: bool | None = None,
     estimator: str = "parity",
     interpret: bool = False,
+    light_idx: tuple | None = None,
+    kinds=None,
 ) -> jnp.ndarray:
     """MSE between the rendered radiance image and a target — the inverse
     rendering objective."""
@@ -274,6 +301,7 @@ def image_loss(
     img = render_radiance(
         scene, camera, rng_state, w, h, num_bounces, spp, backend,
         has_dielectric, estimator=estimator, interpret=interpret,
+        light_idx=light_idx, kinds=kinds,
     )
     return jnp.mean((img - target) ** 2)
 

@@ -310,7 +310,7 @@ def _nee_kernel(
     #       ora orb orc orctr
     spp, num_bounces, num_spheres, num_planes, num_lights,
     has_glossy, has_diel, block_skip=True, unroll=8,
-    primary_inputs=False, regenerate=True,
+    primary_inputs=False, regenerate=True, telemetry=False,
 ):
     """Per-lane state is [8, R]: 8 independent ray groups in the SUBLANE
     dim so every glue op runs at full (8, 128) VPU tile utilization (a
@@ -324,6 +324,10 @@ def _nee_kernel(
     folded in-kernel — the presorted layout groups sky-dead lanes into
     whole blocks so `block_skip` skips them for every sample and bounce.
     """
+    steps_ref = None
+    if telemetry:
+        assert regenerate, "steps telemetry is a regeneration-only counter"
+        *refs, steps_ref = refs
     if primary_inputs:
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
          ra_ref, rb_ref, rc_ref, rctr_ref, t0_ref, p0_ref,
@@ -680,7 +684,7 @@ def _nee_kernel(
             jnp.where(prim_dead, spp, 0).astype(jnp.int32),
             jnp.zeros((8, R), jnp.int32),  # bounce index
             zero, zero, zero,              # banked radiance
-        )
+        ) + ((jnp.zeros((8, R), jnp.int32),) if telemetry else ())
 
         def w_cond(st):
             return jnp.any(st[19] < spp)
@@ -688,7 +692,7 @@ def _nee_kernel(
         def w_body(st):
             (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
              res_r, res_g, res_b, th_r, th_g, th_b, prev_spec,
-             s_idx, b_idx, acc_r, acc_g, acc_b) = st
+             s_idx, b_idx, acc_r, acc_g, acc_b) = st[:24]
             in_flight = s_idx < spp
             q = th_r * th_r + th_g * th_g + th_b * th_b
             path_dead = (
@@ -724,11 +728,18 @@ def _nee_kernel(
                         th_r, th_g, th_b, prev_spec)
             merged = masked_step(~active, operands)
             b_idx = b_idx + active.astype(jnp.int32)
-            return (*merged, s_idx, b_idx, acc_r, acc_g, acc_b)
+            out = (*merged, s_idx, b_idx, acc_r, acc_g, acc_b)
+            if telemetry:
+                # Realized per-lane work: one count per bounce actually
+                # processed (the block's cost is its max over lanes).
+                out = out + (st[24] + active.astype(jnp.int32),)
+            return out
 
         stf = jax.lax.while_loop(w_cond, w_body, st0)
         ra, rb, rc, rctr = stf[8], stf[9], stf[10], stf[11]
         acc_r, acc_g, acc_b = stf[21], stf[22], stf[23]
+        if telemetry:
+            steps_ref[:, :] = stf[24]
     else:
         # --- legacy spp x bounce discipline ---------------------------
         def one_sample(carry):
@@ -822,9 +833,11 @@ def trace_physical_nee_pallas(
     unroll: int = 32,
     presort: bool | None = None,
     regenerate: bool | None = None,
+    telemetry: bool = False,
 ):
     """Fused physical/NEE trace: (radiance_sum over `spp` samples
-    [H, W, 3], final rng [H, W, 4]).
+    [H, W, 3], final rng [H, W, 4]; with `telemetry` also a per-lane
+    realized-step count [H, W] i32 — see `_trace_nee_from_tables`).
 
     Drop-in for `spp` sequential `trace_physical(..., nee=True)` samples
     summed (the `render_batch_physical` loop), with the whole loop in
@@ -850,10 +863,6 @@ def trace_physical_nee_pallas(
     """
     from ..render.nee import _present_kinds
 
-    shape = rng_state.shape[:-1]
-    n = int(np.prod(shape))
-    P = scene.spheres.count
-    M = scene.planes.count
     if light_idx is None:
         light_idx = scene_light_indices(scene)
         assert light_idx is not None, (
@@ -864,8 +873,36 @@ def trace_physical_nee_pallas(
         kinds = _present_kinds(scene)
     has_glossy = kinds is None or BRDF_GLOSSY in kinds
     has_diel = kinds is None or BRDF_DIELECTRIC in kinds
-    L = len(light_idx)
 
+    geom, gatT, plane_tab, light_tab = _nee_scene_tables(scene, light_idx)
+    return _trace_nee_from_tables(
+        geom, gatT, plane_tab, light_tab,
+        rays.origin, rays.direction, rng_state,
+        num_spheres=scene.spheres.count,
+        num_planes=scene.planes.count,
+        num_lights=len(light_idx),
+        has_glossy=has_glossy,
+        has_diel=has_diel,
+        num_bounces=num_bounces,
+        spp=spp,
+        block_r=block_r,
+        interpret=interpret,
+        block_skip=block_skip,
+        unroll=unroll,
+        presort=presort,
+        regenerate=regenerate,
+        telemetry=telemetry,
+    )
+
+
+def _nee_scene_tables(scene: Scene, light_idx):
+    """Pack the scene into the kernel's four tables.  A differentiable
+    function of the continuous Scene leaves — the custom-VJP wrapper
+    (ops/pallas_nee_vjp.py) differentiates at the table boundary and lets
+    this packing carry cotangents back to sphere/plane/light leaves."""
+    P = scene.spheres.count
+    M = scene.planes.count
+    L = len(light_idx)
     pos = scene.spheres.pos
     radius = scene.spheres.radius
     mat = scene.spheres.material
@@ -914,6 +951,25 @@ def trace_physical_nee_pallas(
         )  # [L, 8]
     else:
         light_tab = jnp.zeros((1, 8), jnp.float32)
+    return geom, gatT, plane_tab, light_tab
+
+
+def _trace_nee_from_tables(
+    geom, gatT, plane_tab, light_tab, ray_o, ray_d, rng_state,
+    *, num_spheres, num_planes, num_lights, has_glossy, has_diel,
+    num_bounces, spp, block_r=DEFAULT_BLOCK_R, interpret=False,
+    block_skip=True, unroll=32, presort=None, regenerate=None,
+    telemetry=False,
+):
+    """The fused NEE trace at the table level (everything after the scene
+    packing of `trace_physical_nee_pallas`).  With `telemetry` (requires
+    the regeneration discipline) a third output [H, W] i32 counts each
+    lane's realized work — bounces actually processed across its
+    samples."""
+    shape = rng_state.shape[:-1]
+    n = int(np.prod(shape))
+    P, M, L = num_spheres, num_planes, num_lights
+    rays_origin, rays_direction = ray_o, ray_d
 
     # Rays are laid out [8, N/8]: 8 sublane groups x lane columns; a
     # grid block is a column slice (8, block_r) = 8 * block_r rays.
@@ -927,8 +983,8 @@ def trace_physical_nee_pallas(
         return f.reshape(8, cols)
 
     flat_ins = (
-        [rays.origin[..., i].reshape(-1) for i in range(3)]
-        + [rays.direction[..., i].reshape(-1) for i in range(3)]
+        [rays_origin[..., i].reshape(-1) for i in range(3)]
+        + [rays_direction[..., i].reshape(-1) for i in range(3)]
         + [rng_state[..., i].reshape(-1) for i in range(4)]
     )
 
@@ -1057,7 +1113,9 @@ def trace_physical_nee_pallas(
         unroll=unroll,
         primary_inputs=presort,
         regenerate=regenerate,
+        telemetry=telemetry,
     )
+    n_out = 7 + int(telemetry)
     out = pl.pallas_call(
         kernel,
         grid=(blocks,),
@@ -1068,10 +1126,11 @@ def trace_physical_nee_pallas(
             smem_spec(light_tab),
         ]
         + [col_spec] * len(comp_ins),
-        out_specs=[col_spec] * 7,
+        out_specs=[col_spec] * n_out,
         out_shape=(
             [jax.ShapeDtypeStruct((8, cols), jnp.float32)] * 3
             + [jax.ShapeDtypeStruct((8, cols), jnp.uint32)] * 4
+            + [jax.ShapeDtypeStruct((8, cols), jnp.int32)] * int(telemetry)
         ),
         # Large-P folds keep ~6 [P, R] f32 intermediates live (l vector,
         # |l|^2, fold temporaries, one-hot) — ~26 MB at P=1000, R=512,
@@ -1091,10 +1150,14 @@ def trace_physical_nee_pallas(
             + (j // (8 * block_r)) * block_r
             + (j % block_r)
         )
-        flats_out = permute_packed([a.reshape(-1) for a in out], oidx, 7)
+        flats_out = permute_packed(
+            [a.reshape(-1) for a in out], oidx, n_out
+        )
     else:
         flats_out = [a.reshape(-1)[:n] for a in out]
 
     rad = jnp.stack(flats_out[:3], axis=-1).reshape(*shape, 3)
     rng_out = jnp.stack(flats_out[3:7], axis=-1).reshape(*shape, 4)
+    if telemetry:
+        return rad, rng_out, flats_out[7].reshape(*shape)
     return rad, rng_out

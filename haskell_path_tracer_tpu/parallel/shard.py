@@ -202,6 +202,8 @@ def train_step_sharded(
     has_dielectric: bool | None = None,
     interpret: bool = False,
     estimator: str = "parity",
+    light_idx: tuple | None = None,
+    kinds=None,
 ):
     """One inverse-rendering SGD step with rays + grads sharded.
 
@@ -236,6 +238,7 @@ def train_step_sharded(
                 spp=1, backend=backend, has_dielectric=has_dielectric,
                 row_offset=row0, full_height=full_height,
                 interpret=interpret, estimator=estimator,
+                light_idx=light_idx, kinds=kinds,
             )
             return jnp.sum((rad - tgt_block) ** 2) / denom
 
