@@ -447,7 +447,7 @@ def config7():
             )
         )
     )
-    k, lr = 4, 1e-6
+    k, lr = 8, 1e-6
 
     @jax.jit
     def sgd_step(p):

@@ -311,6 +311,7 @@ def _nee_kernel(
     spp, num_bounces, num_spheres, num_planes, num_lights,
     has_glossy, has_diel, block_skip=True, unroll=8,
     primary_inputs=False, regenerate=True, telemetry=False,
+    grad_residuals=False,
 ):
     """Per-lane state is [8, R]: 8 independent ray groups in the SUBLANE
     dim so every glue op runs at full (8, 128) VPU tile utilization (a
@@ -325,6 +326,18 @@ def _nee_kernel(
     whole blocks so `block_skip` skips them for every sample and bounce.
     """
     steps_ref = None
+    gr_prim_refs = gr_flag_refs = None
+    if grad_residuals:
+        assert not regenerate and not telemetry and spp == 1, (
+            "grad residuals need the legacy discipline at spp == 1 "
+            "(static bounce indices)"
+        )
+        k = len(refs) - 2 * num_bounces
+        refs, gr_prim_refs, gr_flag_refs = (
+            refs[:k],
+            refs[k : k + num_bounces],
+            refs[k + num_bounces :],
+        )
     if telemetry:
         assert regenerate, "steps telemetry is a regeneration-only counter"
         *refs, steps_ref = refs
@@ -603,7 +616,7 @@ def _nee_kernel(
                 bx, by, bz, t_l, lgi,
             )
         else:
-            t2, prim2, _ = scalar_dual_fold(
+            t2, prim2, occ = scalar_dual_fold(
                 hx, hy, hz, ndx, ndy, ndz, EPSILON
             )
         t2, prim2 = merge_planes(
@@ -631,17 +644,20 @@ def _nee_kernel(
             nres_r, nres_g, nres_b,
             th_r * cr, th_g * cg, th_b * cb,
             is_spec.astype(jnp.int32),
+            occ,
         )
 
     def masked_step(dead, operands):
         """Run `live_body` and roll dead lanes back to their old state
-        (so they draw no RNG and accumulate nothing)."""
+        (so they draw no RNG and accumulate nothing).  Returns the new
+        state and the bounce's shadow-occlusion word (a grad residual;
+        garbage on dead lanes, which the reverse sweep masks)."""
         new = live_body(operands)
         (ox, oy, oz, dx, dy, dz, t, prim, ra, rb, rc, rctr,
          res_r, res_g, res_b, th_r, th_g, th_b, prev_spec) = operands
         (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz, n_t, n_prim,
          n_ra, n_rb, n_rc, n_rctr, n_rr, n_rg, n_rbl,
-         n_thr, n_thg, n_thb, n_ps) = new
+         n_thr, n_thg, n_thb, n_ps, occ) = new
 
         sel = lambda old, nw: jnp.where(dead, old, nw)
         return (
@@ -655,7 +671,7 @@ def _nee_kernel(
             jnp.where(dead, 0.0, n_thg),
             jnp.where(dead, 0.0, n_thb),
             sel(prev_spec, n_ps),
-        )
+        ), occ
 
     zero = jnp.zeros((8, R), jnp.float32)
     one = jnp.ones((8, R), jnp.float32)
@@ -726,7 +742,7 @@ def _nee_kernel(
             operands = (ox, oy, oz, dx, dy, dz, t, prim,
                         ra, rb, rc, rctr, res_r, res_g, res_b,
                         th_r, th_g, th_b, prev_spec)
-            merged = masked_step(~active, operands)
+            merged, _ = masked_step(~active, operands)
             b_idx = b_idx + active.astype(jnp.int32)
             out = (*merged, s_idx, b_idx, acc_r, acc_g, acc_b)
             if telemetry:
@@ -742,45 +758,71 @@ def _nee_kernel(
             steps_ref[:, :] = stf[24]
     else:
         # --- legacy spp x bounce discipline ---------------------------
-        def one_sample(carry):
-            ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
+        izero = jnp.zeros((8, R), jnp.int32)
+
+        def bounce_step(st):
+            """One masked bounce; returns (state', occ, dead)."""
+            t, th_r, th_g, th_b = st[6], st[15], st[16], st[17]
+            q = th_r * th_r + th_g * th_g + th_b * th_b
+            dead = (q <= NEAR_ZERO_EPS) | ~(t < INFINITE)
+            # Whole-bounce block skip: a block whose lanes are all
+            # dead (sky tiles after bounce 0) skips fold AND glue;
+            # dead lanes draw no RNG either way, so this is exact.
+            if block_skip:
+                alive_any = jnp.any(~dead)
+                st2, occ = jax.lax.cond(
+                    alive_any,
+                    lambda op: masked_step(dead, op),
+                    lambda op: (op, izero),
+                    st,
+                )
+            else:
+                st2, occ = masked_step(dead, st)
+            return st2, occ, dead
+
+        if grad_residuals:
+            # One sample, bounce loop python-unrolled: each bounce's
+            # discrete fold outcomes go to residual outputs at a STATIC
+            # index, so the gradient kernel's backward replay can skip
+            # every fold (ops/pallas_nee_vjp.py fold_residuals mode).
+            # flags word: bit0 = shadow occlusion, bit1 = hit.
             state = (
                 pox, poy, poz, pdx, pdy, pdz, t0, prim0,
-                ra, rb, rc, rctr,
+                ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :],
                 zero, zero, zero, one, one, one, ione,
             )
+            for b in range(num_bounces):
+                gr_prim_refs[b][:, :] = state[7]
+                hit_b = (state[6] < INFINITE).astype(jnp.int32)
+                state, occ, _ = bounce_step(state)
+                gr_flag_refs[b][:, :] = (occ & 1) | (hit_b << 1)
+            ra, rb, rc, rctr = state[8], state[9], state[10], state[11]
+            acc_r, acc_g, acc_b = state[12], state[13], state[14]
+        else:
+            def one_sample(carry):
+                ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
+                state = (
+                    pox, poy, poz, pdx, pdy, pdz, t0, prim0,
+                    ra, rb, rc, rctr,
+                    zero, zero, zero, one, one, one, ione,
+                )
+                state = jax.lax.fori_loop(
+                    0, num_bounces, lambda _, st: bounce_step(st)[0],
+                    state,
+                )
+                (_, _, _, _, _, _, _, _, ra, rb, rc, rctr,
+                 res_r, res_g, res_b, _, _, _, _) = state
+                return (ra, rb, rc, rctr,
+                        acc_r + res_r, acc_g + res_g, acc_b + res_b)
 
-            def bounce(_, st):
-                t, th_r, th_g, th_b = st[6], st[15], st[16], st[17]
-                q = th_r * th_r + th_g * th_g + th_b * th_b
-                dead = (q <= NEAR_ZERO_EPS) | ~(t < INFINITE)
-                # Whole-bounce block skip: a block whose lanes are all
-                # dead (sky tiles after bounce 0) skips fold AND glue;
-                # dead lanes draw no RNG either way, so this is exact.
-                if block_skip:
-                    alive_any = jnp.any(~dead)
-                    return jax.lax.cond(
-                        alive_any,
-                        lambda op: masked_step(dead, op),
-                        lambda op: op,
-                        st,
-                    )
-                return masked_step(dead, st)
-
-            state = jax.lax.fori_loop(0, num_bounces, bounce, state)
-            (_, _, _, _, _, _, _, _, ra, rb, rc, rctr,
-             res_r, res_g, res_b, _, _, _, _) = state
-            return (ra, rb, rc, rctr,
-                    acc_r + res_r, acc_g + res_g, acc_b + res_b)
-
-        carry = (
-            ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :],
-            zero, zero, zero,
-        )
-        carry = jax.lax.fori_loop(
-            0, spp, lambda _, c: one_sample(c), carry
-        )
-        ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
+            carry = (
+                ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :],
+                zero, zero, zero,
+            )
+            carry = jax.lax.fori_loop(
+                0, spp, lambda _, c: one_sample(c), carry
+            )
+            ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
 
     rad_r_ref[:, :] = acc_r
     rad_g_ref[:, :] = acc_g
@@ -959,7 +1001,7 @@ def _trace_nee_from_tables(
     *, num_spheres, num_planes, num_lights, has_glossy, has_diel,
     num_bounces, spp, block_r=DEFAULT_BLOCK_R, interpret=False,
     block_skip=True, unroll=32, presort=None, regenerate=None,
-    telemetry=False,
+    telemetry=False, grad_residuals=False,
 ):
     """The fused NEE trace at the table level (everything after the scene
     packing of `trace_physical_nee_pallas`).  With `telemetry` (requires
@@ -999,11 +1041,21 @@ def _trace_nee_from_tables(
     )
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
+    if grad_residuals:
+        assert spp == 1 and not telemetry, "grad residuals: spp == 1"
+        regenerate = False  # static (sample, bounce) indices required
+    if telemetry and regenerate is None:
+        regenerate = True  # the steps counter lives in the regen loop
     if regenerate is None:
         # Auto: regeneration pays where the fold dominates and paths die
         # early (large scenes); on Cornell-class scenes it costs ~4% of
         # per-step bookkeeping (measured, config 6) with nothing to skip.
-        regenerate = P >= 64
+        # It also needs samples to regenerate INTO: measured on the
+        # config-4 scene at 512x512 (Mrays/s, fwd only) — spp=1: legacy
+        # 65.5 vs regen 40.8; spp=4: regen 68.6 vs legacy 66.3; spp=8:
+        # regen+sort 87.7.  spp=1 is the gradient-step regime, where the
+        # while-loop bookkeeping is pure overhead.
+        regenerate = P >= 64 and spp >= 4
     if presort is None:
         # Sort when the fold dominates (large P).  Under regeneration a
         # block's step count is its BUSIEST lane's total path length:
@@ -1014,8 +1066,11 @@ def _trace_nee_from_tables(
         # t0 sort (an oracle sort by realized work reaches 1.00x; t0
         # matches sorting by work measured over 1-4 probe samples).
         # Under the legacy discipline the same sort makes sky-dead lanes
-        # contiguous so whole blocks skip.
-        presort = P >= 64
+        # contiguous so whole blocks skip.  The probe + argsort + two
+        # packed permutes are per-dispatch costs amortized by spp:
+        # measured break-even is between 4 and 8 samples (same sweep as
+        # the regenerate gate above).
+        presort = P >= 64 and spp >= 8
     pos = None
     primary_ins = []
 
@@ -1114,8 +1169,10 @@ def _trace_nee_from_tables(
         primary_inputs=presort,
         regenerate=regenerate,
         telemetry=telemetry,
+        grad_residuals=grad_residuals,
     )
-    n_out = 7 + int(telemetry)
+    n_gr = 2 * num_bounces * int(grad_residuals)
+    n_out = 7 + int(telemetry) + n_gr
     out = pl.pallas_call(
         kernel,
         grid=(blocks,),
@@ -1130,7 +1187,8 @@ def _trace_nee_from_tables(
         out_shape=(
             [jax.ShapeDtypeStruct((8, cols), jnp.float32)] * 3
             + [jax.ShapeDtypeStruct((8, cols), jnp.uint32)] * 4
-            + [jax.ShapeDtypeStruct((8, cols), jnp.int32)] * int(telemetry)
+            + [jax.ShapeDtypeStruct((8, cols), jnp.int32)]
+            * (int(telemetry) + n_gr)
         ),
         # Large-P folds keep ~6 [P, R] f32 intermediates live (l vector,
         # |l|^2, fold temporaries, one-hot) — ~26 MB at P=1000, R=512,
@@ -1160,4 +1218,7 @@ def _trace_nee_from_tables(
     rng_out = jnp.stack(flats_out[3:7], axis=-1).reshape(*shape, 4)
     if telemetry:
         return rad, rng_out, flats_out[7].reshape(*shape)
+    if grad_residuals:
+        gr = [f.reshape(*shape) for f in flats_out[7:]]
+        return rad, rng_out, (gr[:num_bounces], gr[num_bounces:])
     return rad, rng_out

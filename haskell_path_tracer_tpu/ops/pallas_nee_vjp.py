@@ -317,14 +317,25 @@ def _nee_bwd_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     ra_ref, rb_ref, rc_ref, rctr_ref,
     gr_ref, gg_ref, gb_ref,
-    dgat_ref,    # VMEM [16, P] — accumulated across the sequential grid
-    dplane_ref,  # SMEM [M?, 12] — accumulated
-    dlight_ref,  # SMEM [L?, 8] — accumulated
-    dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref,
-    stf,         # VMEM scratch (B, _STF_PLANES, 8, R) f32
-    sti,         # VMEM scratch (B, _STI_PLANES, 8, R) i32
-    *, spp, num_bounces, P, M, L, has_glossy, has_diel, unroll,
+    *refs,
+    # refs: [gr_prim x B, gr_flag x B when fold_residuals]
+    #       dgat dplane dlight dox doy doz ddx ddy ddz | stf sti
+    spp, num_bounces, P, M, L, has_glossy, has_diel, unroll,
+    fold_residuals=False,
 ):
+    gr_prim_refs = gr_flag_refs = None
+    if fold_residuals:
+        assert spp == 1, "fold residuals are single-sample (static b)"
+        gr_prim_refs = refs[:num_bounces]
+        gr_flag_refs = refs[num_bounces : 2 * num_bounces]
+        refs = refs[2 * num_bounces :]
+    (dgat_ref,    # VMEM [16, P] — accumulated across the sequential grid
+     dplane_ref,  # SMEM [M?, 12] — accumulated
+     dlight_ref,  # SMEM [L?, 8] — accumulated
+     dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref,
+     stf,         # VMEM scratch (B, _STF_PLANES, 8, R) f32
+     sti,         # VMEM scratch (B, _STI_PLANES, 8, R) i32
+     ) = refs
     gatT = gatT_ref[:, :]
     plane_flat = tuple(
         plane_ref[j, k] for j in range(M) for k in range(12)
@@ -341,15 +352,20 @@ def _nee_bwd_kernel(
     ones = jnp.ones(shape, jnp.float32)
     iones = jnp.ones(shape, jnp.int32)
 
-    # Primary nearest-hit (eps = 0): detached, shared by every sample —
-    # the forward kernel's own spp-invariant hoist.
-    t0, prim0, _ = _sphere_fold(
-        geom_ref, P, unroll, pox, poy, poz, pdx, pdy, pdz,
-        np.float32(0.0),
-    )
-    t0, prim0 = _merge_planes_ref(
-        plane_ref, M, P, t0, prim0, pox, poy, poz, pdx, pdy, pdz, 0.0
-    )
+    if fold_residuals:
+        # The forward already recorded every bounce's winner + flags
+        # (grad_residuals mode): no fold — primary included — runs here.
+        t0 = prim0 = None
+    else:
+        # Primary nearest-hit (eps = 0): detached, shared by every
+        # sample — the forward kernel's own spp-invariant hoist.
+        t0, prim0, _ = _sphere_fold(
+            geom_ref, P, unroll, pox, poy, poz, pdx, pdy, pdz,
+            np.float32(0.0),
+        )
+        t0, prim0 = _merge_planes_ref(
+            plane_ref, M, P, t0, prim0, pox, poy, poz, pdx, pdy, pdz, 0.0
+        )
 
     core = functools.partial(
         _continuous_bounce,
@@ -364,9 +380,21 @@ def _nee_bwd_kernel(
         o3 = (pox, poy, poz)
         d3 = (pdx, pdy, pdz)
         th3 = (ones, ones, ones)
-        t, prim, prev_spec = t0, prim0, iones
+        prev_spec = iones
+        if fold_residuals:
+            t = prim = None  # read per bounce from the residual refs
+        else:
+            t, prim = t0, prim0
         izeros = jnp.zeros(shape, jnp.int32)
         for b in range(num_bounces):
+            occ_in = None
+            if fold_residuals:
+                prim = gr_prim_refs[b][:, :]
+                flags = gr_flag_refs[b][:, :]
+                occ_in = flags & 1
+                # flags bit1 = hit: synthesize the t the masks need (every
+                # hit lane's t is re-derived differentiably in the core).
+                t = jnp.where((flags >> 1) == 1, 0.0, INFINITE)
             for i in range(3):
                 stf[b, i] = o3[i]
                 stf[b, 3 + i] = d3[i]
@@ -377,7 +405,7 @@ def _nee_bwd_kernel(
             q = th3[0] * th3[0] + th3[1] * th3[1] + th3[2] * th3[2]
             dead = (q <= NEAR_ZERO_EPS) | ~(t < INFINITE)
 
-            def live_replay(args, dead=dead, b=b):
+            def live_replay(args, dead=dead, b=b, occ_in=occ_in):
                 (o3, d3, th3, t, prim, prev_spec,
                  ra, rb, rc, rctr) = args
                 u1, u2, u3, rng_a = _draw3((ra, rb, rc, rctr))
@@ -390,7 +418,11 @@ def _nee_bwd_kernel(
                 )
                 (hx, hy, hz, ndx, ndy, ndz,
                  bx, by, bz, t_l, is_spec) = aux
-                if L:
+                if fold_residuals:
+                    # No folds: the next bounce's (t, prim) come from the
+                    # residual refs; only the occlusion word is needed.
+                    t2, prim2, occ = t, prim, occ_in
+                elif L:
                     lgif = jnp.zeros(shape, jnp.float32)
                     k = jnp.clip(
                         jnp.floor(us0 * np.float32(L)),
@@ -409,17 +441,20 @@ def _nee_bwd_kernel(
                         geom_ref, P, unroll, hx, hy, hz, ndx, ndy, ndz,
                         EPSILON,
                     )
-                t2, prim2 = _merge_planes_ref(
-                    plane_ref, M, P, t2, prim2, hx, hy, hz,
-                    ndx, ndy, ndz, EPSILON,
-                )
-                if L:
-                    for j in range(M):
-                        prow = [plane_ref[j, kk] for kk in range(6)]
-                        pd = _plane_t(hx, hy, hz, bx, by, bz, prow, 0.0)
-                        occ = occ | (
-                            (pd >= EPSILON) & (pd < t_l)
-                        ).astype(jnp.int32)
+                if not fold_residuals:
+                    t2, prim2 = _merge_planes_ref(
+                        plane_ref, M, P, t2, prim2, hx, hy, hz,
+                        ndx, ndy, ndz, EPSILON,
+                    )
+                    if L:
+                        for j in range(M):
+                            prow = [plane_ref[j, kk] for kk in range(6)]
+                            pd = _plane_t(
+                                hx, hy, hz, bx, by, bz, prow, 0.0
+                            )
+                            occ = occ | (
+                                (pd >= EPSILON) & (pd < t_l)
+                            ).astype(jnp.int32)
                 return (
                     outs[0:3], outs[3:6], outs[6:9],
                     jnp.where(dead, t, t2),
@@ -568,7 +603,7 @@ def _nee_bwd_kernel(
 def _nee_bwd_call(
     gatT, plane_tab, light_tab, ray_o, ray_d, rng_state, g_rad,
     *, spp, num_bounces, P, M, L, has_glossy, has_diel, block_r, unroll,
-    interpret,
+    interpret, gr=None,
 ):
     shape = rng_state.shape[:-1]
     n = int(np.prod(shape))
@@ -591,6 +626,12 @@ def _nee_bwd_call(
         + [rng_state.reshape(-1, 4)[:, i] for i in range(4)]
         + [g_rad.reshape(-1, 3)[:, i] for i in range(3)]
     )
+    if gr is not None:
+        # Forward-recorded per-bounce winners + flags: padding lanes get
+        # flags = 0 (miss -> dead) so they never run.
+        prims, flags = gr
+        flat_ins += [p.reshape(-1) for p in prims]
+        flat_ins += [f.reshape(-1) for f in flags]
     # Padding lanes: direction 0 makes the primary fold miss (tca = 0
     # rejects every sphere; plane denom = 0 rejects) -> dead lanes with
     # zero cotangent contribution.
@@ -611,6 +652,7 @@ def _nee_bwd_call(
         _nee_bwd_kernel,
         spp=spp, num_bounces=num_bounces, P=P, M=M, L=L,
         has_glossy=has_glossy, has_diel=has_diel, unroll=unroll,
+        fold_residuals=gr is not None,
     )
     out = pl.pallas_call(
         kernel,
@@ -621,7 +663,7 @@ def _nee_bwd_call(
             smem_spec(plane_tab),
             smem_spec(light_tab),
         ]
-        + [col_spec] * 13,
+        + [col_spec] * len(comp_ins),
         out_specs=[
             table_spec(gatT),
             smem_spec(plane_tab),
@@ -674,17 +716,40 @@ def _make_nee_diff_fn(
         return _fwd_only(gatT, plane_tab, light_tab, ray_o, ray_d, rng_state)
 
     def fwd(gatT, plane_tab, light_tab, ray_o, ray_d, rng_state):
+        if spp == 1:
+            # Gradient-mode forward additionally records each bounce's
+            # fold outcome (winner index; occlusion+hit flags) so the
+            # backward replay can skip every fold.  Radiance/rng are
+            # bit-equal to the plain forward (legacy discipline is the
+            # spp=1 auto anyway; tested).
+            geom = jnp.stack(
+                [gatT[4], gatT[5], gatT[6], gatT[9] * gatT[9]], axis=-1
+            )
+            rad, rng_out, gr = _trace_nee_from_tables(
+                geom, gatT, plane_tab, light_tab, ray_o, ray_d,
+                rng_state,
+                num_spheres=P, num_planes=M, num_lights=L,
+                has_glossy=has_glossy, has_diel=has_diel,
+                num_bounces=num_bounces, spp=spp, block_r=block_r,
+                interpret=interpret, grad_residuals=True,
+            )
+            return (rad, rng_out), (
+                gatT, plane_tab, light_tab, ray_o, ray_d, rng_state, gr
+            )
         out = _fwd_only(gatT, plane_tab, light_tab, ray_o, ray_d, rng_state)
-        return out, (gatT, plane_tab, light_tab, ray_o, ray_d, rng_state)
+        return out, (
+            gatT, plane_tab, light_tab, ray_o, ray_d, rng_state, None
+        )
 
     def bwd(res, cts):
-        gatT, plane_tab, light_tab, ray_o, ray_d, rng_state = res
+        gatT, plane_tab, light_tab, ray_o, ray_d, rng_state, gr = res
         g_rad, _g_rng = cts  # rng_out is u32: float0 cotangent, unused
         d_gat, d_pl, d_li, d_ray_o, d_ray_d = _nee_bwd_call(
             gatT, plane_tab, light_tab, ray_o, ray_d, rng_state, g_rad,
             spp=spp, num_bounces=num_bounces, P=P, M=M, L=L,
             has_glossy=has_glossy, has_diel=has_diel,
             block_r=bwd_block_r, unroll=unroll, interpret=interpret,
+            gr=gr,
         )
         d_rng = np.zeros(rng_state.shape, jax.dtypes.float0)
         return d_gat, d_pl, d_li, d_ray_o, d_ray_d, d_rng
@@ -702,7 +767,7 @@ def trace_physical_nee_pallas_diff(
     light_idx: tuple | None = None,
     kinds=None,
     block_r: int = DEFAULT_BLOCK_R,
-    bwd_block_r: int = 128,
+    bwd_block_r: int = 256,  # 256 vs 128 measured 25.5 vs 26.2 ms/step
     unroll: int = 32,
     interpret: bool = False,
 ):

@@ -262,3 +262,41 @@ def test_train_step_sharded_physical_matches_single_device():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
             )
+
+
+def test_train_step_sharded_physical_nee_megakernel_vjp():
+    """The fused NEE megakernel's in-kernel reverse sweep
+    (ops/pallas_nee_vjp.py) under shard_map + psum: passing a static
+    `light_idx` routes backend="pallas" onto the fast path per tile, and
+    the sharded step matches the single-device XLA physical gradients."""
+    from haskell_path_tracer_tpu.ops.pallas_nee import scene_light_indices
+
+    scene, cam = world.main_scene(), world.initial_camera()
+    mesh = M.make_mesh()
+    w, h = 128, 64
+    params = G.scene_to_params(scene)
+    rng = gen_seeds((h, w), seed=6)
+    target = jnp.zeros((h, w, 3), jnp.float32) + 0.1
+    light_idx = scene_light_indices(scene)
+
+    loss_fn = lambda p: G.image_loss(
+        p, scene, cam, target, rng, num_bounces=3, estimator="physical"
+    )
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+    expected = jax.tree_util.tree_map(
+        lambda p, g: p - 0.1 * g, params, ref_grads
+    )
+
+    new_params, loss = train_step_sharded(
+        params, scene, cam, target, rng, mesh, num_bounces=3, lr=0.1,
+        backend="pallas", interpret=True, estimator="physical",
+        light_idx=light_idx,
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_params),
+        jax.tree_util.tree_leaves(expected),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5
+        )
