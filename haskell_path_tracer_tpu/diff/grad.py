@@ -108,16 +108,30 @@ def render_radiance(
             and scene.triangles.count == 0
             and scene.spheres.count > 0
         ):
-            # The fast path: forward = the production fused NEE megakernel
-            # (presort + path regeneration), backward = its in-VMEM replay
-            # + reverse sweep with the sphere fold detached.
+            # The fast path: forward = the production fused NEE megakernel,
+            # backward = its in-VMEM reverse sweep with the sphere fold
+            # detached.  Samples run as spp=1 kernel steps (scanned when
+            # spp > 1): at spp=1 the forward records each bounce's fold
+            # outcome, so the per-sample backward replays with ZERO folds
+            # (ops/pallas_nee_vjp.py fold_residuals mode).
             from ..ops.pallas_nee_vjp import trace_physical_nee_pallas_diff
 
-            rad_sum, _ = trace_physical_nee_pallas_diff(
-                scene, rays, rng_state, num_bounces=num_bounces, spp=spp,
-                light_idx=light_idx, kinds=kinds, interpret=interpret,
-            )
-            return rad_sum / spp
+            def sample_k(rng, _):
+                rad, rng = trace_physical_nee_pallas_diff(
+                    scene, rays, rng, num_bounces=num_bounces, spp=1,
+                    light_idx=light_idx, kinds=kinds, interpret=interpret,
+                )
+                return rng, rad
+
+            if spp == 1:
+                rad_sum, _ = trace_physical_nee_pallas_diff(
+                    scene, rays, rng_state, num_bounces=num_bounces,
+                    spp=1, light_idx=light_idx, kinds=kinds,
+                    interpret=interpret,
+                )
+                return rad_sum
+            _, rads = jax.lax.scan(sample_k, rng_state, None, length=spp)
+            return jnp.mean(rads, axis=0)
 
         # backend="pallas": the fused dual-query bounce loop — ONE Pallas
         # pass over the sphere table per bounce answers both the next-ray

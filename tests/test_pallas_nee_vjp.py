@@ -289,3 +289,32 @@ def test_grad_api_routes_to_nee_megakernel():
             continue
         denom = max(np.abs(a).max(), 1e-6)
         assert np.abs(a - b).max() / denom < 5e-3, field
+
+
+def test_camera_gradient_through_nee_vjp_matches_xla():
+    """Camera optimization: d loss / d camera position flows through
+    `primary_rays` into the kernel's primary-ray cotangents and matches
+    the XLA estimator's camera gradient."""
+    scene = _mixed_scene()
+    cam, _, rng, wmat = _setup(scene)
+    light_idx = scene_light_indices(scene)
+
+    def lp(pos):
+        c = Camera(position=pos, rotation=cam.rotation, fov=cam.fov)
+        rays = primary_rays(c, W, H)
+        rad, _ = trace_physical_nee_pallas_diff(
+            scene, rays, rng, num_bounces=B, spp=1,
+            light_idx=light_idx, interpret=True,
+        )
+        return jnp.sum(rad * wmat)
+
+    def lx(pos):
+        c = Camera(position=pos, rotation=cam.rotation, fov=cam.fov)
+        rays = primary_rays(c, W, H)
+        rad, _ = trace_physical(scene, rays, rng, B, nee=True, fused=False)
+        return jnp.sum(rad * wmat)
+
+    gp = np.asarray(jax.grad(lp)(cam.position), np.float64)
+    gx = np.asarray(jax.grad(lx)(cam.position), np.float64)
+    assert np.isfinite(gp).all() and np.abs(gx).max() > 0
+    assert np.abs(gp - gx).max() / np.abs(gx).max() < 5e-3
