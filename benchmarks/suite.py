@@ -429,37 +429,50 @@ def config7():
     from haskell_path_tracer_tpu.ops.rng import gen_seeds
     from haskell_path_tracer_tpu.render.nee import _present_kinds
 
-    w, h, b = 512, 512, 4
     scene = big_scene(1000)
     cam = Camera.create([0.0, 2.0, 0.0], [0.2, 0.0, 0.0], 90.0)
-    rng = gen_seeds((h, w), seed=1)
-    target = jnp.zeros((h, w, 3), jnp.float32)
     params = G.scene_to_params(scene)
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     light_idx = scene_light_indices(scene) if backend == "pallas" else None
     kinds = _present_kinds(scene)
-    vg = jax.jit(
-        jax.value_and_grad(
-            lambda p: G.image_loss(
-                p, scene, cam, target, rng, num_bounces=b,
-                backend=backend, estimator="physical",
-                light_idx=light_idx, kinds=kinds,
+    lr = 1e-6
+
+    def run_shape(w, h, spp, b, k, tag):
+        rng = gen_seeds((h, w), seed=1)
+        target = jnp.zeros((h, w, 3), jnp.float32)
+        vg = jax.jit(
+            jax.value_and_grad(
+                lambda p: G.image_loss(
+                    p, scene, cam, target, rng, num_bounces=b, spp=spp,
+                    backend=backend, estimator="physical",
+                    light_idx=light_idx, kinds=kinds,
+                )
             )
         )
-    )
-    k, lr = 8, 1e-6
 
-    @jax.jit
-    def sgd_step(p):
-        _, g = vg(p)
-        return jax.tree_util.tree_map(lambda a, d: a - lr * d, p, g)
+        @jax.jit
+        def sgd_step(p):
+            _, g = vg(p)
+            return jax.tree_util.tree_map(lambda a, d: a - lr * d, p, g)
 
-    dt1, dtk = _pipeline(sgd_step, params, k)
-    _report(7, f"invrender_phys_nee_grad_big1000_512x512x1sppx4b_{backend}",
-            w * h * b * 2 * k, dtk,
+        dt1, dtk = _pipeline(sgd_step, params, k)
+        _report(
+            7,
+            f"invrender_phys_nee_grad_big1000_{w}x{h}x{spp}sppx{b}b_"
+            f"{backend}{tag}",
+            w * h * spp * b * 2 * k, dtk,
             {"pipeline": k, "single_ms": round(dt1 * 1e3, 2),
              "note": "fwd+bwd physical/NEE step; bsdf+shadow segments "
-                     "counted once (bench.py rule)"})
+                     "counted once (bench.py rule)"},
+        )
+
+    # Latency row (the historical shape; dispatch-floor-bound — kept at
+    # the round-4 pipeline depth for cross-round comparability).
+    run_shape(512, 512, 1, 4, 8, "")
+    # Saturated row (VERDICT r4 item 3 = the config-5 lesson): the
+    # config-4 lane count with spp = 8 through the round-5 spp>1
+    # fold-residual mode — ONE kernel pair per step, dispatch <10%.
+    run_shape(1920, 1088, 8, 4, 2, "_saturated")
 
 
 def main():

@@ -110,28 +110,21 @@ def render_radiance(
         ):
             # The fast path: forward = the production fused NEE megakernel,
             # backward = its in-VMEM reverse sweep with the sphere fold
-            # detached.  Samples run as spp=1 kernel steps (scanned when
-            # spp > 1): at spp=1 the forward records each bounce's fold
-            # outcome, so the per-sample backward replays with ZERO folds
-            # (ops/pallas_nee_vjp.py fold_residuals mode).
+            # detached.  The forward records each (sample, bounce)'s fold
+            # outcome so the backward replays with ZERO folds at any spp
+            # (ops/pallas_nee_vjp.py fold_residuals mode; round 5 — the
+            # old spp>1 scan of spp=1 steps re-paid the primary fold and
+            # a kernel launch per sample).  Above the residual-plane HBM
+            # cap the whole batch still runs as ONE kernel (the backward
+            # replays folds in VMEM instead).
             from ..ops.pallas_nee_vjp import trace_physical_nee_pallas_diff
 
-            def sample_k(rng, _):
-                rad, rng = trace_physical_nee_pallas_diff(
-                    scene, rays, rng, num_bounces=num_bounces, spp=1,
-                    light_idx=light_idx, kinds=kinds, interpret=interpret,
-                )
-                return rng, rad
-
-            if spp == 1:
-                rad_sum, _ = trace_physical_nee_pallas_diff(
-                    scene, rays, rng_state, num_bounces=num_bounces,
-                    spp=1, light_idx=light_idx, kinds=kinds,
-                    interpret=interpret,
-                )
-                return rad_sum
-            _, rads = jax.lax.scan(sample_k, rng_state, None, length=spp)
-            return jnp.mean(rads, axis=0)
+            rad_sum, _ = trace_physical_nee_pallas_diff(
+                scene, rays, rng_state, num_bounces=num_bounces,
+                spp=spp, light_idx=light_idx, kinds=kinds,
+                interpret=interpret,
+            )
+            return rad_sum / spp if spp > 1 else rad_sum
 
         # backend="pallas": the fused dual-query bounce loop — ONE Pallas
         # pass over the sphere table per bounce answers both the next-ray

@@ -45,9 +45,16 @@ EPSILON = np.float32(0.002)
 PLANE_DENOM_EPS = np.float32(1e-6)
 
 
-def sphere_distances(ray_o, ray_d, spheres: Spheres):
+def sphere_distances(ray_o, ray_d, spheres: Spheres, reject_below=0.0):
     """Distances from rays [..., 3] to every sphere.  Returns [..., N] f32
-    with misses = INFINITE.  Gradient-safe (no NaN from masked lanes)."""
+    with misses = INFINITE.  Gradient-safe (no NaN from masked lanes).
+
+    `reject_below` is the acceptance floor: 0 for camera rays, EPSILON
+    when querying from a shade point (the physical/NEE family's
+    shade-frame convention — the Pallas folds accept `t >= eps` from the
+    unshifted hit point, and this function is their op-for-op XLA twin:
+    identical f32 sequence, identical accept set; the `tca` test is
+    implied by `t >= eps` with `thc >= 0` but kept for clarity)."""
     # Broadcast rays [..., 1, 3] against spheres [N, 3].
     l = spheres.pos - ray_o[..., None, :]  # [..., N, 3]
     tca = linalg.dot(l, ray_d[..., None, :])  # [..., N]
@@ -60,11 +67,11 @@ def sphere_distances(ray_o, ray_d, spheres: Spheres):
     thc_arg = jnp.where(outside, 1.0, jnp.maximum(r2 - d2, 1e-12))
     thc = jnp.where(outside, 0.0, jnp.sqrt(thc_arg))
     t = tca - thc  # == min(tca-thc, tca+thc), Intersection.hs:46-48
-    miss = (tca < 0.0) | outside | (t < 0.0)
+    miss = (tca < reject_below) | outside | (t < reject_below)
     return jnp.where(miss, INFINITE, t)
 
 
-def plane_distances(ray_o, ray_d, planes: Planes):
+def plane_distances(ray_o, ray_d, planes: Planes, reject_below=0.0):
     """Distances from rays [..., 3] to every one-sided plane. [..., M] f32."""
     denom = linalg.dot(ray_d[..., None, :], planes.normal)  # [..., M]
     num = linalg.dot(planes.pos - ray_o[..., None, :], planes.normal)
@@ -74,11 +81,11 @@ def plane_distances(ray_o, ray_d, planes: Planes):
     # behavior for every representable nonzero denom.
     denom_safe = jnp.where(denom == 0.0, PLANE_DENOM_EPS * 0.5, denom)
     dist = num / denom_safe
-    miss = (denom > PLANE_DENOM_EPS) | (dist < 0.0)
+    miss = (denom > PLANE_DENOM_EPS) | (dist < reject_below)
     return jnp.where(miss, INFINITE, dist)
 
 
-def box_distances(ray_o, ray_d, boxes):
+def box_distances(ray_o, ray_d, boxes, reject_below=0.0):
     """Distances from rays [..., 3] to every axis-aligned box. [..., N] f32.
 
     Branchless slab method.  One-sided with the sphere's convention
@@ -96,7 +103,7 @@ def box_distances(ray_o, ray_d, boxes):
     t2 = (boxes.hi - o) * inv
     t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)  # [..., N]
     t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    miss = (t_near > t_far) | (t_near <= 0.0)
+    miss = (t_near > t_far) | (t_near <= 0.0) | (t_near < reject_below)
     return jnp.where(miss, INFINITE, t_near)
 
 
@@ -112,7 +119,7 @@ def box_normal(point, lo, hi):
     )
 
 
-def triangle_distances(ray_o, ray_d, tris):
+def triangle_distances(ray_o, ray_d, tris, reject_below=0.0):
     """Distances from rays [..., 3] to every triangle. [..., N] f32.
 
     Möller–Trumbore, one-sided with the plane's convention
@@ -141,7 +148,7 @@ def triangle_distances(ray_o, ray_d, tris):
         | (u < 0.0)
         | (v < 0.0)
         | (u + v > 1.0)
-        | (t < 0.0)
+        | (t < reject_below)
     )
     return jnp.where(miss, INFINITE, t)
 
@@ -224,16 +231,18 @@ CHUNK_SIZE = 128
 # bounce's two queries in one pass over the table (wired in render/nee.py).
 
 
-def _nearest_t_prim_small(ray_o, ray_d, scene: Scene):
+def _nearest_t_prim_small(ray_o, ray_d, scene: Scene, reject_below=0.0):
     """Direct formulation: one [rays, P] plane + masked-iota min."""
     parts = [
-        sphere_distances(ray_o, ray_d, scene.spheres),  # [..., N]
-        plane_distances(ray_o, ray_d, scene.planes),  # [..., M]
+        sphere_distances(ray_o, ray_d, scene.spheres, reject_below),
+        plane_distances(ray_o, ray_d, scene.planes, reject_below),
     ]
     if scene.boxes.count:
-        parts.append(box_distances(ray_o, ray_d, scene.boxes))
+        parts.append(box_distances(ray_o, ray_d, scene.boxes, reject_below))
     if scene.triangles.count:
-        parts.append(triangle_distances(ray_o, ray_d, scene.triangles))
+        parts.append(
+            triangle_distances(ray_o, ray_d, scene.triangles, reject_below)
+        )
     all_t = jnp.concatenate(parts, axis=-1)  # [..., P]
     num_prims = all_t.shape[-1]
     t = jnp.min(all_t, axis=-1)
@@ -245,7 +254,7 @@ def _nearest_t_prim_small(ray_o, ray_d, scene: Scene):
     return t, prim
 
 
-def _nearest_t_prim_chunked(ray_o, ray_d, scene: Scene):
+def _nearest_t_prim_chunked(ray_o, ray_d, scene: Scene, reject_below=0.0):
     """Large-scene nearest hit.
 
     Spheres: a Pallas TPU kernel that keeps the running best in registers
@@ -268,10 +277,13 @@ def _nearest_t_prim_chunked(ray_o, ray_d, scene: Scene):
                 ray_d.reshape(-1, 3),
                 scene.spheres.pos,
                 scene.spheres.radius,
+                float(reject_below),
             )
             t = t.reshape(leading)
             prim = prim.reshape(leading)
-            return _merge_non_sphere(ray_o, ray_d, scene, t, prim)
+            return _merge_non_sphere(
+                ray_o, ray_d, scene, t, prim, reject_below
+            )
     pad = (-n) % CHUNK_SIZE
     # Padded entries are masked to INFINITE inside the body (explicit mask
     # rather than sentinel geometry: huge coordinates overflow the f32
@@ -296,7 +308,8 @@ def _nearest_t_prim_chunked(ray_o, ray_d, scene: Scene):
         best_t, best_p = carry
         c_pos, c_rad, offset = chunk
         ts = sphere_distances(
-            ray_o, ray_d, Spheres(pos=c_pos, radius=c_rad, material=None)
+            ray_o, ray_d, Spheres(pos=c_pos, radius=c_rad, material=None),
+            reject_below,
         )  # [..., CHUNK]
         valid = offset + jnp.arange(CHUNK_SIZE, dtype=jnp.int32) < n
         ts = jnp.where(valid, ts, INFINITE)
@@ -317,10 +330,10 @@ def _nearest_t_prim_chunked(ray_o, ray_d, scene: Scene):
         (t, prim), _ = jax.lax.scan(body, init, (pos_c, rad_c, offsets))
     else:
         t, prim = init
-    return _merge_non_sphere(ray_o, ray_d, scene, t, prim)
+    return _merge_non_sphere(ray_o, ray_d, scene, t, prim, reject_below)
 
 
-def _merge_non_sphere(ray_o, ray_d, scene: Scene, t, prim):
+def _merge_non_sphere(ray_o, ray_d, scene: Scene, t, prim, reject_below=0.0):
     """Merge the (few) non-sphere kinds into a sphere-only (t, prim) best,
     in index order so the first-primitive tie-break holds across kinds."""
 
@@ -340,27 +353,47 @@ def _merge_non_sphere(ray_o, ray_d, scene: Scene, t, prim):
     offset = scene.spheres.count
     if scene.planes.count:
         t, prim = merge(
-            t, prim, plane_distances(ray_o, ray_d, scene.planes), offset
+            t, prim,
+            plane_distances(ray_o, ray_d, scene.planes, reject_below),
+            offset,
         )
     offset += scene.planes.count
     if scene.boxes.count:
         t, prim = merge(
-            t, prim, box_distances(ray_o, ray_d, scene.boxes), offset
+            t, prim,
+            box_distances(ray_o, ray_d, scene.boxes, reject_below),
+            offset,
         )
     offset += scene.boxes.count
     if scene.triangles.count:
         t, prim = merge(
-            t, prim, triangle_distances(ray_o, ray_d, scene.triangles), offset
+            t, prim,
+            triangle_distances(ray_o, ray_d, scene.triangles, reject_below),
+            offset,
         )
     return t, prim
 
 
-def nearest_hit(ray_o, ray_d, scene: Scene) -> Hit:
+def nearest_t_prim(ray_o, ray_d, scene: Scene, reject_below=0.0):
+    """Nearest (t, prim) only — the fold half of `nearest_hit`, exposed
+    for estimator bodies that carry (t, prim) across bounces and gather
+    the payload at the top of the next bounce (the physical/NEE family's
+    loop shape, render/nee.py)."""
+    num_prims = scene.num_primitives
+    if num_prims > CHUNKED_THRESHOLD:
+        return _nearest_t_prim_chunked(ray_o, ray_d, scene, reject_below)
+    return _nearest_t_prim_small(ray_o, ray_d, scene, reject_below)
+
+
+def nearest_hit(ray_o, ray_d, scene: Scene, reject_below=0.0) -> Hit:
     """Resolve the nearest intersection of each ray with the scene.
 
     `checkHit` parity (Trace.hs:443-447): linear scan over all primitives,
     min by distance, first primitive wins ties (primitive order is spheres
     then planes, as in `mapScene`, Util.hs:156-158).
+
+    `reject_below` is the acceptance floor (0 = camera rays; EPSILON =
+    the physical/NEE family's shade-frame bounce queries).
 
     TPU note (small scenes): the obvious argmin + per-field gather
     formulation is ~18x slower on TPU than a plain min-reduce for t, a
@@ -373,9 +406,9 @@ def nearest_hit(ray_o, ray_d, scene: Scene) -> Hit:
     num_prims = scene.num_primitives
     chunked = num_prims > CHUNKED_THRESHOLD
     if chunked:
-        t, prim = _nearest_t_prim_chunked(ray_o, ray_d, scene)
+        t, prim = _nearest_t_prim_chunked(ray_o, ray_d, scene, reject_below)
     else:
-        t, prim = _nearest_t_prim_small(ray_o, ray_d, scene)
+        t, prim = _nearest_t_prim_small(ray_o, ray_d, scene, reject_below)
     return hit_from_t_prim(ray_o, ray_d, t, prim, scene, use_gather=chunked)
 
 
@@ -415,11 +448,17 @@ def hit_from_t_prim(
     else:
         iota = jnp.arange(num_prims, dtype=jnp.int32)
         onehot = (prim[..., None] == iota).astype(jnp.float32)  # [..., P]
+        # precision=HIGHEST: on TPU the default matmul precision rounds
+        # the f32 table through bf16 operands — the gathered payload must
+        # be the exact table row (the Pallas kernels' one-hot gathers run
+        # at HIGHEST for the same reason).
         fields = jax.numpy.matmul(
-            onehot, _field_table(scene), preferred_element_type=jnp.float32
+            onehot, _field_table(scene), precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )  # [..., 11] — exact: one-hot rows select exact table rows
         brdf_kind = jnp.round(
-            jnp.matmul(onehot, all_kinds.astype(jnp.float32))
+            jnp.matmul(onehot, all_kinds.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
         ).astype(jnp.int32)
 
     aux = fields[..., 0:3]
@@ -467,3 +506,68 @@ def hit_from_t_prim(
         brdf_kind=brdf_kind,
         brdf_param=brdf_param,
     )
+
+
+def sphere_occluded_any(point, l_dir, t_l, exclude_prim, spheres: Spheres):
+    """Sqrt-free any-hit shadow test against every sphere: True where SOME
+    sphere other than `exclude_prim` (global index space: spheres first)
+    intersects the ray (point, l_dir) with t in [EPSILON, t_l).
+
+    This is the op-for-op XLA twin of the Pallas dual fold's shadow side
+    (ops/pallas_intersect.py:_dual_fold_kernel, ops/pallas_nee.py:
+    _sphere_fold): with a FIXED comparison distance there is no need for
+    the sqrt —
+        t >= eps  <=>  (tca - eps >= 0) & ((tca - eps)^2 >= h)
+        t <  t_l  <=>  (tca - t_l < 0) | ((tca - t_l)^2 < h)
+    where h = r^2 - d^2 is the (negated) discriminant.  The physical/NEE
+    estimator family shares this exact f32 sequence so kernel and XLA
+    make identical occlusion decisions.
+    """
+    l = spheres.pos - point[..., None, :]  # [..., N, 3]
+    ll = linalg.quadrance(l)
+    tca = linalg.dot(l, l_dir[..., None, :])
+    r2 = spheres.radius * spheres.radius
+    h = r2 - (ll - tca * tca)
+    a1 = tca - EPSILON
+    a2 = tca - t_l[..., None]
+    iota = jnp.arange(spheres.count, dtype=jnp.int32)
+    occ = (
+        (h >= 0.0)
+        & (a1 >= 0.0)
+        & (a1 * a1 >= h)
+        & ((a2 < 0.0) | (a2 * a2 < h))
+        & (iota != exclude_prim[..., None])
+    )
+    return jnp.any(occ, axis=-1)
+
+
+def shadow_occluded(point, l_dir, t_l, exclude_prim, scene: Scene):
+    """Any-occluder shadow test over the whole scene (the physical/NEE
+    family's shade-frame convention): True where any primitive other than
+    `exclude_prim` blocks the segment [EPSILON, t_l) from `point` along
+    `l_dir`.  Spheres use the sqrt-free forms (`sphere_occluded_any`);
+    planes/boxes/triangles use their distance functions with the same
+    [EPSILON, t_l) window the Pallas NEE kernel applies
+    (ops/pallas_nee.py:_nee_kernel plane shadow merge)."""
+    occ = jnp.zeros(point.shape[:-1], bool)
+    if scene.spheres.count:
+        occ = sphere_occluded_any(
+            point, l_dir, t_l, exclude_prim, scene.spheres
+        )
+    if scene.planes.count:
+        pd = plane_distances(point, l_dir, scene.planes)
+        occ = occ | jnp.any(
+            (pd >= EPSILON) & (pd < t_l[..., None]), axis=-1
+        )
+    if scene.boxes.count:
+        bd = box_distances(point, l_dir, scene.boxes, EPSILON)
+        occ = occ | jnp.any(bd < t_l[..., None], axis=-1)
+    if scene.triangles.count:
+        td = triangle_distances(point, l_dir, scene.triangles, EPSILON)
+        tri_base = scene.spheres.count + scene.planes.count + scene.boxes.count
+        iota = tri_base + jnp.arange(scene.triangles.count, dtype=jnp.int32)
+        occ = occ | jnp.any(
+            (td < t_l[..., None]) & (iota != exclude_prim[..., None]),
+            axis=-1,
+        )
+    return occ

@@ -36,8 +36,13 @@ def _sphere_fold_kernel(
     geom_ref,  # SMEM [P, 4] f32: cx, cy, cz, radius
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM [TB, 128]
     t_ref, prim_ref,  # outputs
-    *, num_spheres,
+    *, num_spheres, eps,
 ):
+    """Clamp form matches `ops/intersect.py:sphere_distances` exactly:
+    `d2 > r2 <=> r2 - d2 < 0` is sign-exact in f32, and accepted lanes'
+    thc/t are the identical op sequence (`sqrt(max(r2 - d2, 1e-12))`);
+    rejected lanes' t is INFINITE either way, so the kernel is a bit-equal
+    drop-in for the XLA chunked scan given bit-equal inputs."""
     ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
     dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
     shape = ox.shape
@@ -52,9 +57,9 @@ def _sphere_fold_kernel(
         tca = lx * dx + ly * dy + lz * dz
         d2 = lx * lx + ly * ly + lz * lz - tca * tca
         r2 = rad * rad
-        thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+        thc = jnp.sqrt(jnp.maximum(r2 - d2, 1e-12))
         t = tca - thc
-        miss = (tca < 0.0) | (d2 > r2) | (t < 0.0)
+        miss = (tca < eps) | (d2 > r2) | (t < eps)
         t = jnp.where(miss, INFINITE, t)
         better = t < best_t
         return (
@@ -80,6 +85,7 @@ def _run_kernel(
     ray_d: jnp.ndarray,
     pos: jnp.ndarray,
     radius: jnp.ndarray,
+    reject_below: float = 0.0,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     interpret: bool = False,
 ):
@@ -105,7 +111,10 @@ def _run_kernel(
         (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_sphere_fold_kernel, num_spheres=n),
+        functools.partial(
+            _sphere_fold_kernel, num_spheres=n,
+            eps=np.float32(reject_below),
+        ),
         grid=(grid_rows // block_rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [row_spec] * 6,
         out_specs=[row_spec] * 2,
@@ -133,29 +142,35 @@ def _winner_t(ray_o, ray_d, pos, radius, prim, hit_mask):
     return jnp.where(hit_mask, tca - thc, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def sphere_nearest_pallas(
     ray_o, ray_d, pos, radius,
+    reject_below: float = 0.0,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     interpret: bool = False,
 ):
     """Nearest sphere per ray.  ray_o/ray_d are [R, 3]; returns
     (t [R] f32 with INFINITE misses, prim [R] i32 — lowest index wins
     ties).  Rays are zero-padded up to a lane multiple internally.
+    `reject_below` is the acceptance floor (sphere_distances' contract).
 
     Differentiable: the VJP recomputes the winner's distance in closed
     form (one sphere per ray) and pulls the cotangent through that —
     identical to differentiating the min-of-distances, at O(rays) cost.
     """
-    return _run_kernel(ray_o, ray_d, pos, radius, block_rows, interpret)
+    return _run_kernel(
+        ray_o, ray_d, pos, radius, reject_below, block_rows, interpret
+    )
 
 
-def _fwd(ray_o, ray_d, pos, radius, block_rows, interpret):
-    t, prim = _run_kernel(ray_o, ray_d, pos, radius, block_rows, interpret)
+def _fwd(ray_o, ray_d, pos, radius, reject_below, block_rows, interpret):
+    t, prim = _run_kernel(
+        ray_o, ray_d, pos, radius, reject_below, block_rows, interpret
+    )
     return (t, prim), (ray_o, ray_d, pos, radius, prim, t < INFINITE)
 
 
-def _bwd(block_rows, interpret, res, cotangents):
+def _bwd(reject_below, block_rows, interpret, res, cotangents):
     ray_o, ray_d, pos, radius, prim, hit_mask = res
     dt, _ = cotangents  # prim is integer output; its cotangent is float0
     _, vjp = jax.vjp(
@@ -215,9 +230,13 @@ def _dual_fold_kernel(
         ll = lx * lx + ly * ly + lz * lz
         tca1 = lx * ax + ly * ay + lz * az
         tca2 = lx * bx + ly * by + lz * bz
-        # BSDF nearest side.
+        # BSDF nearest side.  Clamp form == sphere_distances: h1 >= 0 is
+        # sign-exact for d2 <= r2, and accepted lanes' thc/t are the
+        # identical f32 sequence (sqrt(max(r2 - d2, 1e-12))) — the
+        # grazing band h in [0, 1e-12) can no longer flip decisions vs
+        # the XLA estimator (round-4 fuzz finding).
         h1 = r2 - (ll - tca1 * tca1)
-        thc = jnp.sqrt(jnp.maximum(h1, 0.0))
+        thc = jnp.sqrt(jnp.maximum(h1, 1e-12))
         t = tca1 - thc
         ok = (tca1 >= eps) & (h1 >= 0.0) & (t >= eps) & (t < best_t)
         best_t = jnp.where(ok, t, best_t)

@@ -129,7 +129,9 @@ def _cosine_hemisphere(nx, ny, nz, u1, u2):
 
 def _cone_sample(cx, cy, cz, radius, px, py, pz, u1, u2):
     """render/nee.py:_cone_sample on rows: uniform direction in the cone
-    subtended by the sphere; returns (dir x3, solid_angle)."""
+    subtended by the sphere; returns (dir x3, solid_angle).  Robust
+    one-minus forms (omc = sin2/(1 + cos_max), st2 = x*(1 + cos_t)) —
+    see the XLA twin's docstring for the cancellation analysis."""
     tx, ty, tz = cx - px, cy - py, cz - pz
     dc2 = _dot3(tx, ty, tz, tx, ty, tz)
     dc = jnp.sqrt(jnp.maximum(dc2, 1e-12))
@@ -138,8 +140,10 @@ def _cone_sample(cx, cy, cz, radius, px, py, pz, u1, u2):
     cos_max = jnp.where(
         on_sphere, 0.0, jnp.sqrt(jnp.where(on_sphere, 1.0, 1.0 - sin2_max))
     )
-    cos_t = 1.0 - u1 * (1.0 - cos_max)
-    st2 = 1.0 - cos_t * cos_t
+    omc = jnp.where(on_sphere, 1.0, sin2_max / (1.0 + cos_max))
+    x = u1 * omc
+    cos_t = 1.0 - x
+    st2 = x * (1.0 + cos_t)
     st_ok = st2 > 0.0
     sin_t = jnp.where(st_ok, jnp.sqrt(jnp.where(st_ok, st2, 1.0)), 0.0)
     phi = TWO_PI * u2
@@ -150,7 +154,7 @@ def _cone_sample(cx, cy, cz, radius, px, py, pz, u1, u2):
         b1x * sc + b2x * ss + wx * cos_t,
         b1y * sc + b2y * ss + wy * cos_t,
         b1z * sc + b2z * ss + wz * cos_t,
-        TWO_PI * (1.0 - cos_max),
+        TWO_PI * omc,
     )
 
 
@@ -220,9 +224,15 @@ def _sphere_fold(
         ll = lx * lx + ly * ly + lz * lz
         tca = lx * dx + ly * dy + lz * dz
         h = r2 - (ll - tca * tca)
-        thc = jnp.sqrt(jnp.maximum(h, 0.0))
+        # Clamp form == ops/intersect.py:sphere_distances: `h >= 0` is
+        # sign-exact for `d2 <= r2`, and accepted lanes' thc/t run the
+        # identical f32 sequence sqrt(max(r2 - d2, 1e-12)) — so the
+        # fold's winner t IS sphere_distances' t bit-for-bit and the
+        # payload needs no recompute (round-4's grazing-band fuzz
+        # finding: the old sqrt(max(h, 0)) differed in h in [0, 1e-12)).
+        thc = jnp.sqrt(jnp.maximum(h, 1e-12))
         t = tca - thc
-        # (tca >= eps) is implied: t >= eps with thc >= 0 forces
+        # (tca >= eps) is implied: t >= eps with thc > 0 forces
         # tca = t + thc >= eps — one fewer compare per pair.
         ok = (h >= 0.0) & (t >= eps) & (t < best_t)
         best_t = jnp.where(ok, t, best_t)
@@ -328,15 +338,16 @@ def _nee_kernel(
     steps_ref = None
     gr_prim_refs = gr_flag_refs = None
     if grad_residuals:
-        assert not regenerate and not telemetry and spp == 1, (
-            "grad residuals need the legacy discipline at spp == 1 "
-            "(static bounce indices)"
+        assert not regenerate and not telemetry, (
+            "grad residuals need the legacy discipline "
+            "(static sample/bounce indices)"
         )
-        k = len(refs) - 2 * num_bounces
+        n_gr = spp * num_bounces
+        k = len(refs) - 2 * n_gr
         refs, gr_prim_refs, gr_flag_refs = (
             refs[:k],
-            refs[k : k + num_bounces],
-            refs[k + num_bounces :],
+            refs[k : k + n_gr],
+            refs[k + n_gr :],
         )
     if telemetry:
         assert regenerate, "steps telemetry is a regeneration-only counter"
@@ -385,13 +396,10 @@ def _nee_kernel(
         """Hit payload: one-hot MXU gather for spheres (exact at HIGHEST
         precision), unrolled SMEM selects for planes.
 
-        Also RE-DERIVES the winner's t in ops/intersect.py's exact op
-        order: the fold already uses the exact (c - o) form, but clamps
-        the discriminant as sqrt(max(h, 0)) while sphere_distances uses
-        the outside-test + sqrt(max(r2 - d2, 1e-12)) form — the two
-        differ in the grazing band h < 1e-12, so lane-exact t parity
-        with the XLA path needs one recompute in the reference form.
-        O(R) per winner — free against the O(P*R) fold."""
+        The fold's winner t needs NO recompute: `_sphere_fold` runs
+        sphere_distances' exact clamp form, so its t is already the XLA
+        path's value bit-for-bit (the round-4 grazing-band recompute was
+        removed with that fix)."""
         hit = t < INFINITE
 
         def gather_g(prim_, hit_):
@@ -401,26 +409,12 @@ def _nee_kernel(
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )  # [16, R]
-            return tuple(g[v : v + 1] for v in range(10))
+            return tuple(g[v : v + 1] for v in range(9))
 
-        (cr, cg, cb, il, ax, ay, az, param, kind, srad) = per_group(
-            gather_g, prim, hit, n_out=10
+        (cr, cg, cb, il, ax, ay, az, param, kind) = per_group(
+            gather_g, prim, hit, n_out=9
         )
         is_plane = prim >= P
-        is_sphere_hit = hit & ~is_plane
-        lx, ly, lz = ax - ox, ay - oy, az - oz
-        tca_e = _dot3(lx, ly, lz, dx, dy, dz)
-        d2_e = _dot3(lx, ly, lz, lx, ly, lz) - tca_e * tca_e
-        r2_e = srad * srad
-        outside = d2_e > r2_e
-        thc_e = jnp.where(
-            outside,
-            0.0,
-            jnp.sqrt(
-                jnp.where(outside, 1.0, jnp.maximum(r2_e - d2_e, 1e-12))
-            ),
-        )
-        t = jnp.where(is_sphere_hit, tca_e - thc_e, t)
         for j in range(num_planes):
             m = prim == P + j
             cr = jnp.where(m, plane_ref[j, 6], cr)
@@ -473,12 +467,15 @@ def _nee_kernel(
         hx = ox + dx * t_safe
         hy = oy + dy * t_safe
         hz = oz + dz * t_safe
+        # Divide (not reciprocal-multiply): normalize_safe's exact op
+        # sequence — a 1-ulp normal difference propagates into every
+        # downstream accept/reject comparison of the XLA twin.
         sx, sy, sz = hx - ax, hy - ay, hz - az
         sq = _dot3(sx, sy, sz, sx, sy, sz)
-        inv = 1.0 / jnp.maximum(jnp.sqrt(sq), 1e-20)
-        nx = jnp.where(is_plane, ax, sx * inv)
-        ny = jnp.where(is_plane, ay, sy * inv)
-        nz = jnp.where(is_plane, az, sz * inv)
+        nrm = jnp.maximum(jnp.sqrt(sq), 1e-20)
+        nx = jnp.where(is_plane, ax, sx / nrm)
+        ny = jnp.where(is_plane, ay, sy / nrm)
+        nz = jnp.where(is_plane, az, sz / nrm)
 
         # Emission pickup (NEE rule: specular chains + planes).
         take = (prev_spec != 0) | is_plane
@@ -781,23 +778,32 @@ def _nee_kernel(
             return st2, occ, dead
 
         if grad_residuals:
-            # One sample, bounce loop python-unrolled: each bounce's
-            # discrete fold outcomes go to residual outputs at a STATIC
-            # index, so the gradient kernel's backward replay can skip
-            # every fold (ops/pallas_nee_vjp.py fold_residuals mode).
+            # Sample AND bounce loops python-unrolled: each (sample,
+            # bounce)'s discrete fold outcomes go to residual outputs at
+            # a STATIC index, so the gradient kernel's backward replay
+            # skips every fold at ANY spp (ops/pallas_nee_vjp.py
+            # fold_residuals mode; round 5 extended it beyond spp == 1).
             # flags word: bit0 = shadow occlusion, bit1 = hit.
-            state = (
-                pox, poy, poz, pdx, pdy, pdz, t0, prim0,
-                ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :],
-                zero, zero, zero, one, one, one, ione,
+            ra, rb, rc, rctr = (
+                ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :]
             )
-            for b in range(num_bounces):
-                gr_prim_refs[b][:, :] = state[7]
-                hit_b = (state[6] < INFINITE).astype(jnp.int32)
-                state, occ, _ = bounce_step(state)
-                gr_flag_refs[b][:, :] = (occ & 1) | (hit_b << 1)
-            ra, rb, rc, rctr = state[8], state[9], state[10], state[11]
-            acc_r, acc_g, acc_b = state[12], state[13], state[14]
+            acc_r = acc_g = acc_b = zero
+            for s in range(spp):
+                state = (
+                    pox, poy, poz, pdx, pdy, pdz, t0, prim0,
+                    ra, rb, rc, rctr,
+                    zero, zero, zero, one, one, one, ione,
+                )
+                for b in range(num_bounces):
+                    i = s * num_bounces + b
+                    gr_prim_refs[i][:, :] = state[7]
+                    hit_b = (state[6] < INFINITE).astype(jnp.int32)
+                    state, occ, _ = bounce_step(state)
+                    gr_flag_refs[i][:, :] = (occ & 1) | (hit_b << 1)
+                ra, rb, rc, rctr = state[8], state[9], state[10], state[11]
+                acc_r = acc_r + state[12]
+                acc_g = acc_g + state[13]
+                acc_b = acc_b + state[14]
         else:
             def one_sample(carry):
                 ra, rb, rc, rctr, acc_r, acc_g, acc_b = carry
@@ -958,7 +964,7 @@ def _nee_scene_tables(scene: Scene, light_idx):
             pos.T,                            # 4-6
             mat.brdf_param[None, :],          # 7
             mat.brdf_kind.astype(jnp.float32)[None, :],  # 8
-            radius[None, :],                  # 9 (exact winner-t recompute)
+            radius[None, :],                  # 9 (VJP geom derivation)
             jnp.zeros((6, P), jnp.float32),
         ],
         axis=0,
@@ -1042,8 +1048,14 @@ def _trace_nee_from_tables(
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
     if grad_residuals:
-        assert spp == 1 and not telemetry, "grad residuals: spp == 1"
+        assert not telemetry, "grad residuals exclude telemetry"
         regenerate = False  # static (sample, bounce) indices required
+        # presort stays available: it is a pure lane-layout change (the
+        # residual planes ride the generic output unpermute), and under
+        # the legacy discipline it makes sky-dead lanes block-contiguous
+        # so `block_skip` skips them for every (sample, bounce) — the
+        # gradient forward's answer to dead-lane waste (regeneration
+        # being unavailable here).
     if telemetry and regenerate is None:
         regenerate = True  # the steps counter lives in the regen loop
     if regenerate is None:
@@ -1171,7 +1183,7 @@ def _trace_nee_from_tables(
         telemetry=telemetry,
         grad_residuals=grad_residuals,
     )
-    n_gr = 2 * num_bounces * int(grad_residuals)
+    n_gr = 2 * spp * num_bounces * int(grad_residuals)
     n_out = 7 + int(telemetry) + n_gr
     out = pl.pallas_call(
         kernel,
@@ -1220,5 +1232,6 @@ def _trace_nee_from_tables(
         return rad, rng_out, flats_out[7].reshape(*shape)
     if grad_residuals:
         gr = [f.reshape(*shape) for f in flats_out[7:]]
-        return rad, rng_out, (gr[:num_bounces], gr[num_bounces:])
+        nb = spp * num_bounces
+        return rad, rng_out, (gr[:nb], gr[nb:])
     return rad, rng_out

@@ -81,6 +81,11 @@ from .pallas_nee import (
     _trace_nee_from_tables,
 )
 
+# Residual-recording forwards emit 2 * spp * num_bounces extra i32
+# output planes (winner + flags per (sample, bounce)); cap the HBM cost
+# (64 planes = 2.1 GB at 4K) — beyond it the backward replays folds.
+MAX_RESIDUAL_PLANES = 64
+
 # Scratch layout per bounce (f32 planes): origin(3) direction(3)
 # throughput(3) fold-t(1) brdf-uniforms(3) light-uniforms(3).
 _STF_PLANES = 16
@@ -181,12 +186,14 @@ def _continuous_bounce(
     hx = ox + dx * t_safe
     hy = oy + dy * t_safe
     hz = oz + dz * t_safe
+    # Divide form (normalize_safe's op sequence, matching the forward
+    # kernel bit-for-bit); the inner max is a backward-only NaN guard.
     sx, sy, sz = hx - ax, hy - ay, hz - az
     sq = _dot3(sx, sy, sz, sx, sy, sz)
-    inv = 1.0 / jnp.maximum(jnp.sqrt(jnp.maximum(sq, 1e-30)), 1e-20)
-    nx = jnp.where(is_plane, ax, sx * inv)
-    ny = jnp.where(is_plane, ay, sy * inv)
-    nz = jnp.where(is_plane, az, sz * inv)
+    nrm = jnp.maximum(jnp.sqrt(jnp.maximum(sq, 1e-30)), 1e-20)
+    nx = jnp.where(is_plane, ax, sx / nrm)
+    ny = jnp.where(is_plane, ay, sy / nrm)
+    nz = jnp.where(is_plane, az, sz / nrm)
 
     # Emission pickup (NEE rule: specular chains + planes).
     take = (prev_spec != 0) | is_plane
@@ -325,10 +332,13 @@ def _nee_bwd_kernel(
 ):
     gr_prim_refs = gr_flag_refs = None
     if fold_residuals:
-        assert spp == 1, "fold residuals are single-sample (static b)"
-        gr_prim_refs = refs[:num_bounces]
-        gr_flag_refs = refs[num_bounces : 2 * num_bounces]
-        refs = refs[2 * num_bounces :]
+        # Round 5: per-(sample, bounce) residuals — the backward replay
+        # runs ZERO folds at any spp (the sample loop is python-unrolled
+        # so residual indices stay static).
+        n_gr = spp * num_bounces
+        gr_prim_refs = refs[:n_gr]
+        gr_flag_refs = refs[n_gr : 2 * n_gr]
+        refs = refs[2 * n_gr :]
     (dgat_ref,    # VMEM [16, P] — accumulated across the sequential grid
      dplane_ref,  # SMEM [M?, 12] — accumulated
      dlight_ref,  # SMEM [L?, 8] — accumulated
@@ -372,7 +382,10 @@ def _nee_bwd_kernel(
         P=P, M=M, L=L, has_glossy=has_glossy, has_diel=has_diel,
     )
 
-    def one_sample(_, carry):
+    def one_sample(s, carry):
+        # `s` is the STATIC python sample index in fold_residuals mode
+        # (residual-ref indexing); a traced fori_loop index otherwise
+        # (unused except as a loop counter).
         (ra, rb, rc, rctr, d_gat, d_plane, d_light,
          adox, adoy, adoz, addx, addy, addz) = carry
 
@@ -389,8 +402,8 @@ def _nee_bwd_kernel(
         for b in range(num_bounces):
             occ_in = None
             if fold_residuals:
-                prim = gr_prim_refs[b][:, :]
-                flags = gr_flag_refs[b][:, :]
+                prim = gr_prim_refs[s * num_bounces + b][:, :]
+                flags = gr_flag_refs[s * num_bounces + b][:, :]
                 occ_in = flags & 1
                 # flags bit1 = hit: synthesize the t the masks need (every
                 # hit lane's t is re-derived differentiably in the core).
@@ -566,7 +579,13 @@ def _nee_bwd_kernel(
         tuple(jnp.zeros((), jnp.float32) for _ in range(L * 8)),
         zeros, zeros, zeros, zeros, zeros, zeros,
     )
-    carry = jax.lax.fori_loop(0, spp, one_sample, carry0)
+    if fold_residuals:
+        # Static residual indices need a python sample loop.
+        carry = carry0
+        for s in range(spp):
+            carry = one_sample(s, carry)
+    else:
+        carry = jax.lax.fori_loop(0, spp, one_sample, carry0)
     (_, _, _, _, d_gat, d_plane, d_light,
      adox, adoy, adoz, addx, addy, addz) = carry
 
@@ -716,12 +735,15 @@ def _make_nee_diff_fn(
         return _fwd_only(gatT, plane_tab, light_tab, ray_o, ray_d, rng_state)
 
     def fwd(gatT, plane_tab, light_tab, ray_o, ray_d, rng_state):
-        if spp == 1:
-            # Gradient-mode forward additionally records each bounce's
-            # fold outcome (winner index; occlusion+hit flags) so the
-            # backward replay can skip every fold.  Radiance/rng are
-            # bit-equal to the plain forward (legacy discipline is the
-            # spp=1 auto anyway; tested).
+        if 2 * spp * num_bounces <= MAX_RESIDUAL_PLANES:
+            # Gradient-mode forward additionally records each (sample,
+            # bounce)'s fold outcome (winner index; occlusion+hit flags)
+            # so the backward replay can skip every fold — round 5
+            # extended this beyond spp == 1 (the forward runs the legacy
+            # discipline, whose (sample, bounce) indices are static, so
+            # spp > 1 gradients no longer re-pay the primary fold and a
+            # kernel launch per sample).  Radiance/rng are bit-equal to
+            # the plain forward on raster-order layouts (tested).
             geom = jnp.stack(
                 [gatT[4], gatT[5], gatT[6], gatT[9] * gatT[9]], axis=-1
             )

@@ -83,8 +83,12 @@ def gen_seeds(shape, seed: int | None = None) -> jnp.ndarray:
     The reference fills the seed matrix from MWC system entropy
     (`genSeeds`, /root/reference/src/Util.hs:122-127).  Here we use numpy's
     PCG64 (optionally deterministic via `seed`) to fill all four state words,
-    then burn in 12 rounds so the state words decorrelate — the conventional
-    SFC32 warm-up.
+    then burn in 12 rounds so the first outputs decorrelate from the raw
+    seed words — the conventional SFC32 warm-up.  This is the ONE seeding
+    discipline for every fresh SFC32 state array in the framework: the
+    stateless sampler's threefry-derived states get the same 12 rounds
+    (render/nee.py:render_batch_physical_stateless), uniformity-checked
+    in tests/test_rng.py.
 
     Returns uint32 [*shape, 4] on the default device.
     """

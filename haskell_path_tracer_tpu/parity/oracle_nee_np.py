@@ -80,9 +80,12 @@ def _scene_np(scene):
     }
 
 
-def _nearest(o, d, S):
-    """checkHit over spheres ++ planes ++ triangles, t >= 0 acceptance
-    (callers pre-offset origins by EPSILON, as the JAX path does)."""
+def _nearest(o, d, S, reject=F(0)):
+    """checkHit over spheres ++ planes ++ triangles.  `reject` is the
+    acceptance floor: 0 for camera rays, EPSILON from a shade point (the
+    physical/NEE family's shade-frame convention — queries start AT the
+    hit point, matching ops/intersect.py's `reject_below` and the Pallas
+    folds' `t >= eps` accept)."""
     ns, npl = S["s_pos"].shape[0], S["p_pos"].shape[0]
     parts = []
     if ns:
@@ -91,16 +94,20 @@ def _nearest(o, d, S):
         d2 = _dot(l, l) - tca * tca
         r2 = S["s_rad"] * S["s_rad"]
         with np.errstate(invalid="ignore"):
-            thc = np.sqrt(np.maximum(r2 - d2, F(0)))
+            thc = np.sqrt(np.maximum(r2 - d2, F(1e-12)))
         t = tca - thc
-        parts.append(np.where((tca < 0) | (d2 > r2) | (t < 0), INFINITE, t))
+        parts.append(
+            np.where(
+                (tca < reject) | (d2 > r2) | (t < reject), INFINITE, t
+            )
+        )
     if npl:
         denom = _dot(d[..., None, :], S["p_nor"])
         num = _dot(S["p_pos"] - o[..., None, :], S["p_nor"])
         with np.errstate(divide="ignore", invalid="ignore"):
             dist = num / np.where(denom == 0, F(5e-7), denom)
         parts.append(
-            np.where((denom > F(1e-6)) | (dist < 0), INFINITE, dist)
+            np.where((denom > F(1e-6)) | (dist < reject), INFINITE, dist)
         )
     nt = S["t_v0"].shape[0]
     if nt:
@@ -120,7 +127,7 @@ def _nearest(o, d, S):
             | (u < 0)
             | (v < 0)
             | (u + v > 1)
-            | (t < 0)
+            | (t < reject)
         )
         parts.append(np.where(miss, INFINITE, t))
     allt = np.concatenate(parts, axis=-1)
@@ -215,20 +222,24 @@ def _physical_bounce(h, d, u1, u2, u3):
     diel_dir = np.where((u3 < f_refl)[..., None], refl, refr)
     direction = np.where(is_d[..., None], diel_dir, direction)
 
-    origin = h["point"] + direction * EPSILON
+    # Shade-frame convention: the next ray starts AT the hit point.
     is_spec = is_g | is_d
-    return origin, direction.astype(F), h["color"], is_spec
+    return h["point"], direction.astype(F), h["color"], is_spec
 
 
 def _cone_sample(center, radius, point, u1, u2):
+    # Robust one-minus forms (render/nee.py:_cone_sample round-5 note):
+    # omc = 1 - cos_max = sin2/(1 + cos_max); st2 = x * (1 + cos_t).
     to_c = center - point
     dc2 = _dot(to_c, to_c)
     dc = np.sqrt(np.maximum(dc2, F(1e-12)))
     sin2_max = np.clip(radius * radius / np.maximum(dc2, F(1e-12)), F(0), F(1))
     on = sin2_max >= 1
     cos_max = np.where(on, F(0), np.sqrt(np.where(on, F(1), F(1) - sin2_max)))
-    cos_t = F(1) - u1 * (F(1) - cos_max)
-    st2 = F(1) - cos_t * cos_t
+    omc = np.where(on, F(1), sin2_max / (F(1) + cos_max))
+    x = u1 * omc
+    cos_t = F(1) - x
+    st2 = x * (F(1) + cos_t)
     ok = st2 > 0
     sin_t = np.where(ok, np.sqrt(np.where(ok, st2, F(1))), F(0))
     phi = TWO_PI * u2
@@ -239,7 +250,7 @@ def _cone_sample(center, radius, point, u1, u2):
         + b2 * (sin_t * np.sin(phi))[..., None]
         + w * cos_t[..., None]
     ).astype(F)
-    return direction, (TWO_PI * (F(1) - cos_max)).astype(F)
+    return direction, (TWO_PI * omc).astype(F)
 
 
 def _tri_area_sample(S, t_idx, point, u1, u2):
@@ -263,9 +274,112 @@ def _tri_area_sample(S, t_idx, point, u1, u2):
     return direction.astype(F), inv_pdf
 
 
+def _sphere_t_single(point, l_dir, center, radius):
+    """render/nee.py:_sphere_t_single — distance to ONE sphere per lane
+    with shade-frame acceptance (tca >= eps, t >= eps); INFINITE miss."""
+    l = center - point
+    tca = _dot(l, l_dir)
+    d2 = _dot(l, l) - tca * tca
+    r2 = radius * radius
+    outside = d2 > r2
+    with np.errstate(invalid="ignore"):
+        thc = np.where(
+            outside, F(0),
+            np.sqrt(np.where(outside, F(1), np.maximum(r2 - d2, F(1e-12)))),
+        )
+    t = tca - thc
+    miss = (tca < EPSILON) | outside | (t < EPSILON)
+    return np.where(miss, INFINITE, t).astype(F)
+
+
+def _tri_t_single(S, t_idx, point, l_dir):
+    """render/nee.py:_tri_t_single — MT distance to the SELECTED triangle
+    with t >= EPSILON acceptance."""
+    v0 = S["t_v0"][t_idx]
+    e1, e2 = S["t_e1"][t_idx], S["t_e2"][t_idx]
+    pvec = np.cross(l_dir, e2).astype(F)
+    det = _dot(e1, pvec)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_det = F(1) / np.where(np.abs(det) < F(1e-30), F(1e-30), det)
+    tvec = point - v0
+    u = _dot(tvec, pvec) * inv_det
+    qvec = np.cross(tvec, e1).astype(F)
+    v = _dot(l_dir, qvec) * inv_det
+    t = _dot(e2, qvec) * inv_det
+    n_norm = S["t_n_norm"][t_idx]
+    miss = (
+        (det <= F(1e-6) * n_norm)
+        | (u < 0)
+        | (v < 0)
+        | (u + v > 1)
+        | (t < EPSILON)
+    )
+    return np.where(miss, INFINITE, t).astype(F)
+
+
+def _shadow_occluded(S, point, l_dir, t_l, exclude_prim):
+    """ops/intersect.py:shadow_occluded — any-occluder test in
+    [EPSILON, t_l): spheres via the sqrt-free forms (the Pallas dual
+    fold's shadow side), planes/triangles via their distance rules."""
+    ns, npl = S["s_pos"].shape[0], S["p_pos"].shape[0]
+    nt = S["t_v0"].shape[0]
+    occ = np.zeros(point.shape[:-1], bool)
+    if ns:
+        l = S["s_pos"] - point[..., None, :]
+        ll = _dot(l, l)
+        tca = _dot(l, l_dir[..., None, :])
+        r2 = S["s_rad"] * S["s_rad"]
+        h = r2 - (ll - tca * tca)
+        a1 = tca - EPSILON
+        a2 = tca - t_l[..., None]
+        iota = np.arange(ns)
+        # t_l = INFINITE lanes make a2*a2 overflow to inf (harmless: the
+        # a2 < 0 disjunct already decides them); silence the warning.
+        with np.errstate(over="ignore"):
+            occ = (
+                (h >= 0)
+                & (a1 >= 0)
+                & (a1 * a1 >= h)
+                & ((a2 < 0) | (a2 * a2 < h))
+                & (iota != exclude_prim[..., None])
+            ).any(-1)
+    if npl:
+        denom = _dot(l_dir[..., None, :], S["p_nor"])
+        num = _dot(S["p_pos"] - point[..., None, :], S["p_nor"])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dist = num / np.where(denom == 0, F(5e-7), denom)
+        pd = np.where((denom > F(1e-6)) | (dist < 0), INFINITE, dist)
+        occ = occ | ((pd >= EPSILON) & (pd < t_l[..., None])).any(-1)
+    if nt:
+        dv = l_dir[..., None, :]
+        pvec = np.cross(dv, S["t_e2"]).astype(F)
+        det = _dot(S["t_e1"], pvec)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv_det = F(1) / np.where(np.abs(det) < F(1e-30), F(1e-30), det)
+        tvec = point[..., None, :] - S["t_v0"]
+        u = _dot(tvec, pvec) * inv_det
+        qvec = np.cross(tvec, S["t_e1"]).astype(F)
+        v = _dot(dv, qvec) * inv_det
+        t = _dot(S["t_e2"], qvec) * inv_det
+        miss = (
+            (det <= F(1e-6) * S["t_n_norm"])
+            | (u < 0)
+            | (v < 0)
+            | (u + v > 1)
+            | (t < EPSILON)
+        )
+        td = np.where(miss, INFINITE, t)
+        iota = ns + npl + np.arange(nt)
+        occ = occ | (
+            (td < t_l[..., None]) & (iota != exclude_prim[..., None])
+        ).any(-1)
+    return occ
+
+
 def _sample_light(S, point, u_sel, u1, u2):
     """render/nee.py:sample_light — uniform emitter pick over spheres ++
-    triangles via the cdf-argmax rank rule, then cone/area sampling."""
+    triangles via the cdf-argmax rank rule, then cone/area sampling.
+    Also returns the selected emitter's distance t_l and emission."""
     ns, npl = S["s_pos"].shape[0], S["p_pos"].shape[0]
     nt = S["t_v0"].shape[0]
     mask = np.concatenate(
@@ -290,14 +404,33 @@ def _sample_light(S, point, u_sel, u1, u2):
         direction = np.where(is_tri[..., None], dir_t, dir_s)
         inv_pdf_dir = np.where(is_tri, ip_t, sa_s)
         light_prim = np.where(is_tri, ns + npl + t_idx, s_idx)
+        t_l = np.where(
+            is_tri,
+            _tri_t_single(S, t_idx, point, direction),
+            _sphere_t_single(
+                point, direction, S["s_pos"][s_idx], S["s_rad"][s_idx]
+            ),
+        )
+        l_emit = np.where(
+            is_tri[..., None],
+            S["color"][ns + npl + t_idx]
+            * S["illum"][ns + npl + t_idx][..., None],
+            S["color"][s_idx] * S["illum"][s_idx][..., None],
+        )
     else:
         direction, inv_pdf_dir = _cone_sample(
             S["s_pos"][light_idx], S["s_rad"][light_idx], point, u1, u2
         )
         light_prim = light_idx
+        t_l = _sphere_t_single(
+            point, direction, S["s_pos"][light_idx], S["s_rad"][light_idx]
+        )
+        l_emit = (
+            S["color"][light_idx] * S["illum"][light_idx][..., None]
+        )
     valid = (count > 0) & (inv_pdf_dir > F(1e-9))
     inv_pdf = np.where(valid, inv_pdf_dir * count, F(0))
-    return direction, inv_pdf, light_prim
+    return direction, inv_pdf, light_prim, t_l, l_emit.astype(F)
 
 
 def trace_physical_np(scene, o, d, rng_state, num_bounces):
@@ -311,8 +444,11 @@ def trace_physical_np(scene, o, d, rng_state, num_bounces):
     result = np.zeros_like(o)
     throughput = np.ones_like(o)
     prev_spec = np.ones(o.shape[:-1], bool)
+    # Shade-frame loop (one convention across the family): carry the
+    # NEXT bounce's nearest hit, queried from the unshifted hit point
+    # with the EPSILON acceptance floor.
+    h = _nearest(o, d, S)
     for _ in range(num_bounces):
-        h = _nearest(o, d, S)
         dead = (_dot(throughput, throughput) <= F(1e-6)) | ~h["hit"]
 
         is_bsdf_only = (h["prim"] >= ns) & (h["prim"] < ns + npl)
@@ -321,7 +457,7 @@ def trace_physical_np(scene, o, d, rng_state, num_bounces):
         new_result = result + np.where(take[..., None], emit, F(0))
 
         u, state2 = _gen_vec(state)  # 3 draws in [-1, 1]
-        next_o, next_d, tmod, is_spec = _physical_bounce(
+        _, next_d, tmod, is_spec = _physical_bounce(
             h, d,
             (u[..., 0] + F(1)) * F(0.5),
             (u[..., 1] + F(1)) * F(0.5),
@@ -330,14 +466,13 @@ def trace_physical_np(scene, o, d, rng_state, num_bounces):
 
         un, state2 = _gen_vec(state2)
         us = (un + F(1)) * F(0.5)
-        l_dir, inv_pdf, l_prim = _sample_light(
+        l_dir, inv_pdf, l_prim, t_l, l_emit = _sample_light(
             S, h["point"], us[..., 0], us[..., 1], us[..., 2]
         )
         cos_i = _dot(l_dir, h["normal"])
-        sh = _nearest(h["point"] + l_dir * EPSILON, l_dir, S)
-        visible = sh["hit"] & (sh["prim"] == l_prim)
+        occ = _shadow_occluded(S, h["point"], l_dir, t_l, l_prim)
+        visible = ~occ & (t_l < INFINITE)
         w = visible & (h["kind"] == BRDF_MATTE) & (cos_i > 0)
-        l_emit = sh["color"] * sh["illum"][..., None]
         contrib = (
             throughput
             * (h["color"] / PI)
@@ -346,9 +481,18 @@ def trace_physical_np(scene, o, d, rng_state, num_bounces):
         )
         new_result = new_result + np.where(w[..., None], contrib, F(0))
 
+        h2 = _nearest(h["point"], next_d, S, reject=EPSILON)
+
         d3 = dead[..., None]
-        o = np.where(d3, o, next_o)
+        o = np.where(d3, o, h["point"])
         d = np.where(d3, d, next_d)
+        h = {
+            k: np.where(
+                dead.reshape(dead.shape + (1,) * (h[k].ndim - dead.ndim)),
+                h[k], h2[k],
+            )
+            for k in h
+        }
         state = np.where(dead[..., None], state, state2)
         result = np.where(d3, result, new_result)
         throughput = np.where(d3, F(0), throughput * tmod)

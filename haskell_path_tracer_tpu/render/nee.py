@@ -50,7 +50,9 @@ from ..ops.intersect import (
     INFINITE,
     hit_from_t_prim,
     nearest_hit,
+    nearest_t_prim,
     plane_distances,
+    shadow_occluded,
 )
 
 TWO_PI = np.float32(2.0 * np.pi)
@@ -112,6 +114,14 @@ def _physical_bounce(hit, ray_d, u1, u2, u3, kinds=None):
     Lambert: (albedo/pi) * cos / (cos/pi) = albedo.  Mirror/glass: albedo
     (delta lobes; the Fresnel branch choice is importance-sampled by u3).
     `kinds` (static) elides absent-material branches; None computes all.
+
+    Shade-frame convention (the whole physical/NEE family, round 5): the
+    next ray starts AT the hit point and intersection queries accept
+    `t >= EPSILON` (`reject_below`), instead of the parity family's
+    eps-shifted origin with `t >= 0`.  The two describe the same accept
+    set in exact arithmetic; sharing ONE f32 formulation across the XLA
+    estimator, the numpy oracle and the Pallas kernels is what makes
+    their per-lane parity structural rather than statistical.
     """
     has_glossy = kinds is None or BRDF_GLOSSY in kinds
     has_diel = kinds is None or BRDF_DIELECTRIC in kinds
@@ -133,8 +143,7 @@ def _physical_bounce(hit, ray_d, u1, u2, u3, kinds=None):
         is_specular = is_glossy | is_diel
     else:
         is_specular = jnp.zeros(hit.brdf_kind.shape, bool)
-    origin = hit.point + direction * EPSILON
-    return origin, direction, hit.color, is_specular
+    return hit.point, direction, hit.color, is_specular
 
 
 def sample_physical(hit, ray_d, rng_state, kinds=None):
@@ -171,7 +180,20 @@ def _light_fields(scene: Scene):
 
 def _cone_sample(center, radius, point, u1, u2):
     """Uniform direction in the cone subtended by a sphere seen from
-    `point`; returns (dir, solid_angle) with solid_angle = 1/pdf_dir."""
+    `point`; returns (dir, solid_angle) with solid_angle = 1/pdf_dir.
+
+    Numerically robust form (round 5): the naive `1 - cos_max` is a
+    catastrophic cancellation for distant lights (sin2_max ~ (r/d)^2
+    small, cos_max ~ 1): a 1-ulp difference in cos_max becomes a ~1e-3
+    RELATIVE difference in the solid angle, which two differently
+    compiled graphs of the same formula will hit (XLA's mul+add
+    contraction is graph-context-dependent).  Both the one-minus terms
+    are therefore computed directly:
+        omc = 1 - cos_max = sin2_max / (1 + cos_max)
+        st2 = 1 - cos_t^2 = (u1 * omc) * (1 + cos_t)
+    — exact algebraic identities, each well-conditioned.  Every
+    implementation of the estimator (XLA here, the NEE megakernel, the
+    numpy oracle) uses this exact sequence."""
     to_c = center - point
     dc2 = linalg.quadrance(to_c)
     dc = jnp.sqrt(jnp.maximum(dc2, 1e-12))
@@ -187,9 +209,11 @@ def _cone_sample(center, radius, point, u1, u2):
         0.0,
         jnp.sqrt(jnp.where(on_sphere, 1.0, 1.0 - sin2_max)),
     )
+    omc = jnp.where(on_sphere, 1.0, sin2_max / (1.0 + cos_max))
 
-    cos_t = 1.0 - u1 * (1.0 - cos_max)
-    st2 = 1.0 - cos_t * cos_t
+    x = u1 * omc
+    cos_t = 1.0 - x
+    st2 = x * (1.0 + cos_t)
     st_ok = st2 > 0.0
     sin_t = jnp.where(st_ok, jnp.sqrt(jnp.where(st_ok, st2, 1.0)), 0.0)
     phi = TWO_PI * u2
@@ -200,7 +224,7 @@ def _cone_sample(center, radius, point, u1, u2):
         + b2 * (sin_t * jnp.sin(phi))[..., None]
         + w * cos_t[..., None]
     )
-    return direction, TWO_PI * (1.0 - cos_max)
+    return direction, TWO_PI * omc
 
 
 def _tri_area_sample(tris, t_idx, point, u1, u2):
@@ -246,17 +270,48 @@ def _tri_area_sample(tris, t_idx, point, u1, u2):
     return direction, inv_pdf
 
 
+def _tri_t_single(tris, t_idx, point, l_dir, reject_below=EPSILON):
+    """Möller–Trumbore distance from `point` to ONE triangle per lane
+    (exactly `triangle_distances` restricted to the selected row — same
+    f32 op sequence, so the NEE shadow window [eps, t_l) sees the same
+    value a full nearest-hit would).  INFINITE on miss."""
+    v0 = tris.v0[t_idx]
+    e1 = tris.v1[t_idx] - v0
+    e2 = tris.v2[t_idx] - v0
+    pvec = jnp.cross(l_dir, e2)
+    det = linalg.dot(e1, pvec)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    tvec = point - v0
+    u = linalg.dot(tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = linalg.dot(l_dir, qvec) * inv_det
+    t = linalg.dot(e2, qvec) * inv_det
+    n_norm = linalg.norm(jnp.cross(e1, e2))
+    from ..ops.intersect import PLANE_DENOM_EPS
+
+    miss = (
+        (det <= PLANE_DENOM_EPS * n_norm)
+        | (u < 0.0)
+        | (v < 0.0)
+        | (u + v > 1.0)
+        | (t < reject_below)
+    )
+    return jnp.where(miss, INFINITE, t)
+
+
 def sample_light(scene: Scene, point, u_select, u1, u2):
     """Uniformly pick an NEE-sampled emitter (sphere or triangle), then
     sample a direction toward it — cone sampling for spheres, area
     sampling for triangles.
 
-    Returns (dir [..., 3], inv_pdf [...], light_prim [...] i32) where
-    `light_prim` is the emitter's GLOBAL primitive index (the value
-    `nearest_hit(...).prim` takes when the shadow ray reaches it) and
-    `inv_pdf` folds in the 1/num_lights selection probability:
-    contribution = f * cos * L_e * inv_pdf.  Lanes with no valid light
-    get inv_pdf = 0.
+    Returns (dir [..., 3], inv_pdf [...], light_prim [...] i32,
+    t_l [...], l_emit [..., 3]) where `light_prim` is the emitter's
+    GLOBAL primitive index, `inv_pdf` folds in the 1/num_lights
+    selection probability (contribution = f * cos * L_e * inv_pdf),
+    `t_l` is the distance to the SELECTED emitter along `dir` with the
+    shade-frame acceptance (`_sphere_t_single` / `_tri_t_single`;
+    INFINITE when unreachable) and `l_emit` its emission color * scale.
+    Lanes with no valid light get inv_pdf = 0.
     """
     mask, cdf, count = _light_fields(scene)
     # Uniform selection among lights: target rank in [1, count].
@@ -268,6 +323,7 @@ def sample_light(scene: Scene, point, u_select, u1, u2):
 
     ns = scene.spheres.count
     nt = scene.triangles.count
+    sp_mat = scene.spheres.material
     if nt:
         is_tri = light_idx >= ns
         s_idx = jnp.clip(light_idx, 0, max(ns - 1, 0))
@@ -284,6 +340,20 @@ def sample_light(scene: Scene, point, u_select, u1, u2):
         inv_pdf_dir = jnp.where(is_tri, ip_t, sa_s)
         tri_base = ns + scene.planes.count + scene.boxes.count
         light_prim = jnp.where(is_tri, tri_base + t_idx, s_idx)
+        t_l = jnp.where(
+            is_tri,
+            _tri_t_single(scene.triangles, t_idx, point, direction),
+            _sphere_t_single(
+                point, direction,
+                scene.spheres.pos[s_idx], scene.spheres.radius[s_idx],
+            ),
+        )
+        tr_mat = scene.triangles.material
+        l_emit = jnp.where(
+            is_tri[..., None],
+            tr_mat.color[t_idx] * tr_mat.illuminance[t_idx][..., None],
+            sp_mat.color[s_idx] * sp_mat.illuminance[s_idx][..., None],
+        )
     else:
         direction, inv_pdf_dir = _cone_sample(
             scene.spheres.pos[light_idx],
@@ -293,12 +363,20 @@ def sample_light(scene: Scene, point, u_select, u1, u2):
             u2,
         )
         light_prim = light_idx
+        t_l = _sphere_t_single(
+            point, direction,
+            scene.spheres.pos[light_idx], scene.spheres.radius[light_idx],
+        )
+        l_emit = (
+            sp_mat.color[light_idx]
+            * sp_mat.illuminance[light_idx][..., None]
+        )
 
     # Invalid when: no lights, degenerate zero solid angle, or (spheres)
     # the shade point inside the light / (triangles) behind the emitter.
     valid = (count > 0) & (inv_pdf_dir > 1e-9)
     inv_pdf = jnp.where(valid, inv_pdf_dir * count, 0.0)
-    return direction, inv_pdf, light_prim
+    return direction, inv_pdf, light_prim, t_l, l_emit
 
 
 def sample_light_cone(scene: Scene, point, u_select, u1, u2):
@@ -575,10 +653,17 @@ def trace_physical(
     # counts only off specular chains.
     bsdf_only_lo = n_spheres
     bsdf_only_hi = n_spheres + scene.planes.count + scene.boxes.count
+    use_gather = scene.num_primitives > CHUNKED_THRESHOLD
 
+    # Shade-frame loop (the fused path's / NEE megakernel's structure):
+    # the carry holds the NEXT bounce's resolved (t, prim), queried from
+    # the unshifted hit point with `reject_below = EPSILON`, so every
+    # implementation of this estimator runs one shared f32 formulation.
     def body(_, state):
-        ray_o, ray_d, rng, result, throughput, prev_spec = state
-        hit = nearest_hit(ray_o, ray_d, scene)
+        ray_o, ray_d, t, prim, rng, result, throughput, prev_spec = state
+        hit = hit_from_t_prim(
+            ray_o, ray_d, t, prim, scene, use_gather=use_gather
+        )
         dead = linalg.near_zero(throughput) | ~hit.hit
 
         is_bsdf_only = (hit.prim >= bsdf_only_lo) & (
@@ -591,23 +676,21 @@ def trace_physical(
         emit = brdf_ops.emittance(hit) * throughput
         new_result = result + jnp.where(take_emit[..., None], emit, 0.0)
 
-        next_o, next_d, tmod, is_spec, rng2 = sample_physical(
+        _, next_d, tmod, is_spec, rng2 = sample_physical(
             hit, ray_d, rng, kinds=kinds
         )
 
         if nee:
             un, rng2 = rng_ops.gen_vec(rng2)  # 3 draws in [-1, 1]
             us = (un + 1.0) * 0.5
-            l_dir, inv_pdf, l_idx = sample_light(
+            l_dir, inv_pdf, l_idx, t_l, l_emit = sample_light(
                 scene, hit.point, us[..., 0], us[..., 1], us[..., 2]
             )
+            occ = shadow_occluded(hit.point, l_dir, t_l, l_idx, scene)
+            visible = ~occ & (t_l < INFINITE)
             cos_i = linalg.dot(l_dir, hit.normal)
-            shadow_o = hit.point + l_dir * EPSILON
-            sh = nearest_hit(shadow_o, l_dir, scene)
-            visible = sh.hit & (sh.prim == l_idx)
             # Only matte surfaces have a non-delta BRDF to evaluate.
             is_matte = hit.brdf_kind == BRDF_MATTE
-            l_emit = brdf_ops.emittance(sh)  # the light's L_e at the hit
             w = (
                 visible
                 & is_matte
@@ -622,11 +705,14 @@ def trace_physical(
             new_result = new_result + jnp.where(w[..., None], contrib, 0.0)
 
         new_throughput = throughput * tmod
+        t2, prim2 = nearest_t_prim(hit.point, next_d, scene, EPSILON)
 
         d3 = dead[..., None]
         return (
-            jnp.where(d3, ray_o, next_o),
+            jnp.where(d3, ray_o, hit.point),
             jnp.where(d3, ray_d, next_d),
+            jnp.where(dead, t, t2),
+            jnp.where(dead, prim, prim2),
             jnp.where(dead[..., None], rng, rng2),
             jnp.where(d3, result, new_result),
             jnp.where(d3, 0.0, new_throughput),
@@ -634,18 +720,19 @@ def trace_physical(
         )
 
     zeros = jnp.zeros_like(rays.origin)
+    t0, prim0 = nearest_t_prim(rays.origin, rays.direction, scene)
     init = (
         rays.origin,
         rays.direction,
+        t0,
+        prim0,
         rng_state,
         zeros,
         jnp.ones_like(rays.origin),
         jnp.ones(rays.origin.shape[:-1], bool),  # camera rays see lights
     )
-    _, _, rng_out, result, _, _ = jax.lax.fori_loop(
-        0, num_bounces, body, init
-    )
-    return result, rng_out
+    state = jax.lax.fori_loop(0, num_bounces, body, init)
+    return state[5], state[4]
 
 
 def trace_physical_stateless(
@@ -681,10 +768,14 @@ def trace_physical_stateless(
         k = jr.fold_in(sample_key, bounce)
         return jr.uniform(k, (n, *shape), dtype=jnp.float32)
 
+    use_gather = scene.num_primitives > CHUNKED_THRESHOLD
+
     def one_sample(sample_key):
         def body(i, state):
-            ray_o, ray_d, result, throughput, prev_spec = state
-            hit = nearest_hit(ray_o, ray_d, scene)
+            ray_o, ray_d, t, prim, result, throughput, prev_spec = state
+            hit = hit_from_t_prim(
+                ray_o, ray_d, t, prim, scene, use_gather=use_gather
+            )
             dead = linalg.near_zero(throughput) | ~hit.hit
 
             is_bsdf_only = (hit.prim >= bsdf_only_lo) & (
@@ -697,48 +788,54 @@ def trace_physical_stateless(
             new_result = result + jnp.where(take_emit[..., None], emit, 0.0)
 
             u = uniforms(sample_key, i, 6)
-            next_o, direction, tmod, is_spec = _physical_bounce(
+            _, direction, tmod, is_spec = _physical_bounce(
                 hit, ray_d, u[0], u[1], u[2], kinds=kinds
             )
             new_throughput = throughput * tmod
 
             if nee:
-                l_dir, inv_pdf, l_idx = sample_light(
+                l_dir, inv_pdf, l_idx, t_l, l_emit = sample_light(
                     scene, hit.point, u[3], u[4], u[5]
                 )
+                occ = shadow_occluded(hit.point, l_dir, t_l, l_idx, scene)
                 cos_i = linalg.dot(l_dir, hit.normal)
-                sh = nearest_hit(hit.point + l_dir * EPSILON, l_dir, scene)
                 w = (
-                    sh.hit & (sh.prim == l_idx)
+                    ~occ & (t_l < INFINITE)
                     & (hit.brdf_kind == BRDF_MATTE) & (cos_i > 0.0)
                 )
                 contrib = (
                     throughput * (hit.color / jnp.pi)
-                    * brdf_ops.emittance(sh)
+                    * l_emit
                     * (cos_i * inv_pdf)[..., None]
                 )
                 new_result = new_result + jnp.where(
                     w[..., None], contrib, 0.0
                 )
 
+            t2, prim2 = nearest_t_prim(hit.point, direction, scene, EPSILON)
             d3 = dead[..., None]
             return (
-                jnp.where(d3, ray_o, next_o),
+                jnp.where(d3, ray_o, hit.point),
                 jnp.where(d3, ray_d, direction),
+                jnp.where(dead, t, t2),
+                jnp.where(dead, prim, prim2),
                 jnp.where(d3, result, new_result),
                 jnp.where(d3, 0.0, new_throughput),
                 jnp.where(dead, prev_spec, is_spec),
             )
 
+        t0, prim0 = nearest_t_prim(rays.origin, rays.direction, scene)
         init = (
             rays.origin,
             rays.direction,
+            t0,
+            prim0,
             jnp.zeros_like(rays.origin),
             jnp.ones_like(rays.origin),
             jnp.ones(shape, bool),
         )
-        _, _, result, _, _ = jax.lax.fori_loop(0, num_bounces, body, init)
-        return result
+        state = jax.lax.fori_loop(0, num_bounces, body, init)
+        return state[4]
 
     def sample_loop(i, acc):
         return acc + one_sample(jr.fold_in(key, i))
@@ -875,6 +972,16 @@ def render_batch_physical_stateless(
         jr.PRNGKey(acc.rng.reshape(-1, 4)[0, 0]), acc.iterations
     )
     states = jr.bits(key, (height, width, 4), jnp.uint32)
+    # One seeding discipline for every fresh SFC32 state array (VERDICT
+    # r4 item 7): 12 burn-in rounds, exactly as `ops/rng.py:gen_seeds`
+    # applies to its PCG64-filled states.  Threefry words are already
+    # full-entropy, but the warm-up additionally decorrelates the first
+    # *outputs* from the raw seed words (SFC32's t = a + b + counter is
+    # a thin function of the seed on round one) and keeps the two
+    # seeding paths identical in spec.  Cost: 12 vector rounds over
+    # [H, W, 4], once per batch — noise next to a single bounce.
+    for _ in range(12):
+        _, states = rng_ops.sfc32_next(states)
     out = render_batch_physical(
         scene, camera,
         Accumulator(color=acc.color, rng=states,

@@ -377,7 +377,7 @@ def test_sphere_only_light_table_unchanged():
     rays = primary_rays(camera, W, H)
     img_a, rng_a = N.trace_physical(scene, rays, seeds, 3, nee=True)
     u = np.random.default_rng(0).uniform(0, 1, (3, H, W)).astype(np.float32)
-    d1, p1, i1 = N.sample_light(scene, rays.origin, u[0], u[1], u[2])
+    d1, p1, i1, _, _ = N.sample_light(scene, rays.origin, u[0], u[1], u[2])
     d2, p2, i2 = N.sample_light_cone(scene, rays.origin, u[0], u[1], u[2])
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))

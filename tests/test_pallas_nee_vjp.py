@@ -318,3 +318,40 @@ def test_camera_gradient_through_nee_vjp_matches_xla():
     gx = np.asarray(jax.grad(lx)(cam.position), np.float64)
     assert np.isfinite(gp).all() and np.abs(gx).max() > 0
     assert np.abs(gp - gx).max() / np.abs(gx).max() < 5e-3
+
+
+def test_nee_vjp_grad_mode_forward_bit_equals_production():
+    """ADVICE r4 item 2: the residual-recording forward that actually
+    runs under jax.grad (fold_residuals mode) must be bit-equal to the
+    production kernel — at spp = 1 AND at spp > 1 (round 5 extended the
+    residual mode past single samples)."""
+    scene = _mixed_scene()
+    _, rays, rng, _ = _setup(scene)
+    for spp in (1, 2):
+        rad0, rng0 = trace_physical_nee_pallas(
+            scene, rays, rng, num_bounces=B, spp=spp, interpret=True
+        )
+
+        def f(o, spp=spp):
+            return trace_physical_nee_pallas_diff(
+                scene, Rays(origin=o, direction=rays.direction), rng,
+                num_bounces=B, spp=spp, interpret=True,
+            )
+
+        (rad1, rng1), _ = jax.vjp(f, rays.origin)
+        assert jnp.array_equal(rad0, rad1), spp
+        assert jnp.array_equal(rng0, rng1), spp
+
+
+def test_nee_vjp_fold_replay_fallback_grads_match_xla(monkeypatch):
+    """Above the residual-plane HBM cap the backward replays folds in
+    VMEM (the round-4 path).  Force the fallback (cap = 0) and require
+    the same XLA gradient agreement as the residual mode."""
+    from haskell_path_tracer_tpu.ops import pallas_nee_vjp as V
+
+    monkeypatch.setattr(V, "MAX_RESIDUAL_PLANES", 0)
+    V._make_nee_diff_fn.cache_clear()
+    try:
+        _assert_grads_match(_mixed_scene())
+    finally:
+        V._make_nee_diff_fn.cache_clear()
