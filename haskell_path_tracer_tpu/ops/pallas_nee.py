@@ -1050,12 +1050,15 @@ def _trace_nee_from_tables(
     if grad_residuals:
         assert not telemetry, "grad residuals exclude telemetry"
         regenerate = False  # static (sample, bounce) indices required
-        # presort stays available: it is a pure lane-layout change (the
-        # residual planes ride the generic output unpermute), and under
-        # the legacy discipline it makes sky-dead lanes block-contiguous
-        # so `block_skip` skips them for every (sample, bounce) — the
-        # gradient forward's answer to dead-lane waste (regeneration
-        # being unavailable here).
+        # presort is mechanically compatible (the residual planes ride
+        # the generic output unpermute, bit-identically) but DISABLED:
+        # at 2M lanes x 64 residual planes XLA:TPU's buffer assignment
+        # materializes the [lanes, 71]-wide packed unpermute dozens of
+        # times and the jitted step OOMs HBM at 71.7 GB (measured,
+        # round 5 — PERF.md "sorted gradient mode").  A sorted gradient
+        # frame wants the permutation OUTSIDE the kernel boundary with
+        # residuals kept sorted; priced but not built this round.
+        presort = False
     if telemetry and regenerate is None:
         regenerate = True  # the steps counter lives in the regen loop
     if regenerate is None:
