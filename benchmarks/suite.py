@@ -456,14 +456,25 @@ def config7():
             return jax.tree_util.tree_map(lambda a, d: a - lr * d, p, g)
 
         dt1, dtk = _pipeline(sgd_step, params, k)
+        extra = {"pipeline": k, "single_ms": round(dt1 * 1e3, 2),
+                 "note": "fwd+bwd physical/NEE step; bsdf+shadow "
+                         "segments counted once (bench.py rule)"}
+        if k >= 8:
+            # ADVICE r4 item 4: pipeline depth amortizes the tunnel
+            # launch floor, so cross-round comparisons at different k
+            # conflate methodology with kernel speed — report the
+            # floor-free marginal rate from the k..2k chain slope
+            # (config 1's discipline) alongside.
+            dt2 = _pipeline(sgd_step, params, 2 * k, n=1)[1]
+            slope = (dt2 - dtk) / k
+            extra["device_rays_per_s"] = round(w * h * spp * b * 2 / slope)
+            extra["note"] += ("; device_rays_per_s = floor-free marginal "
+                              f"rate from the k={k}..{2 * k} chain slope")
         _report(
             7,
             f"invrender_phys_nee_grad_big1000_{w}x{h}x{spp}sppx{b}b_"
             f"{backend}{tag}",
-            w * h * spp * b * 2 * k, dtk,
-            {"pipeline": k, "single_ms": round(dt1 * 1e3, 2),
-             "note": "fwd+bwd physical/NEE step; bsdf+shadow segments "
-                     "counted once (bench.py rule)"},
+            w * h * spp * b * 2 * k, dtk, extra,
         )
 
     # Latency row (the historical shape; dispatch-floor-bound — kept at
@@ -475,8 +486,59 @@ def config7():
     run_shape(1920, 1088, 8, 4, 2, "_saturated")
 
 
+def config8():
+    """Triangle-emitter NEE (round 5): the fused megakernel folds
+    triangle geometry (Möller–Trumbore scalar-SMEM stream) and samples
+    triangle area lights — the estimator's flagship feature previously
+    forfeited the kernel (VERDICT r4 item 4).  Cornell-style: 8 spheres,
+    2 ceiling light triangles, 2 blocker triangles, floor plane."""
+    import haskell_path_tracer_tpu as hpt
+    from haskell_path_tracer_tpu.models.objects import (
+        Camera, Scene, make_materials, make_triangles,
+    )
+    from haskell_path_tracer_tpu.ops.pallas_nee import scene_light_indices
+    from haskell_path_tracer_tpu.render.nee import _present_kinds
+
+    w, h, spp, b = 512, 512, 16, 4
+    base = cornell_scene()
+    tr = make_triangles(
+        [[-2.5, 7.5, -9.0], [2.5, 7.5, -5.0],
+         [-1.5, 0.0, -6.0], [1.0, -1.0, -4.5]],
+        [[2.5, 7.5, -9.0], [-2.5, 7.5, -5.0],
+         [-0.5, 0.0, -6.5], [2.0, -1.0, -5.0]],
+        [[0.0, 7.5, -5.0], [0.0, 7.5, -9.0],
+         [-1.0, 1.5, -6.2], [1.5, 0.2, -4.7]],
+        make_materials(
+            [([1.0, 0.95, 0.8], 18.0, 0, 1.0),
+             ([0.9, 0.9, 1.0], 12.0, 0, 1.0),
+             ([0.5, 0.5, 0.8], 0.0, 0, 1.0),
+             ([0.8, 0.6, 0.4], 0.0, 0, 1.0)]
+        ),
+    )
+    scene = Scene(spheres=base.spheres, planes=base.planes, triangles=tr)
+    cam = hpt.initial_camera()
+    acc = hpt.make_accumulator(w, h, seed=0)
+    kinds = _present_kinds(scene)
+    light_idx = scene_light_indices(scene)
+    step = jax.jit(
+        lambda s, c, a: hpt.render_batch_physical(
+            s, c, a, spp=spp, num_bounces=b, nee=True, kinds=kinds,
+            light_idx=light_idx,
+        )
+    )
+    k = 32
+    dt1, dtk = _pipeline(lambda a: step(scene, cam, a), acc, k)
+    _report(
+        8, "tri_emitters_cornell8+4t_512x512x16sppx4b_physical",
+        w * h * spp * b * 2 * k, dtk,
+        {"pipeline": k, "single_ms": round(dt1 * 1e3, 1),
+         "note": "triangle area lights through the NEE megakernel; "
+                 "rays counts bsdf+shadow"},
+    )
+
+
 def main():
-    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5, 6, 7]
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5, 6, 7, 8]
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
     for n in which:
         try:

@@ -78,6 +78,18 @@ def render_radiance(
     is treated as a constant (no tangent), so the function is a
     deterministic, differentiable map from scene parameters to pixels.
 
+    CONSTRAINT (ADVICE r4): `light_idx` freezes the emitter SET for the
+    whole optimization — the fused kernel samples exactly those lights,
+    while the XLA estimator derives lights from `illuminance > 0` each
+    call.  If an optimization drives an emitter's illuminance across
+    zero, the two backends silently diverge (the kernel keeps sampling a
+    zero-emission light / misses a newly lit one, changing only estimator
+    variance, not bias — a zero-emission sampled light contributes 0 and
+    BSDF pickup still collects new emitters' light off specular chains,
+    but matte NEE toward an unlisted emitter is lost).  Recompute
+    `scene_light_indices` (outside jit) and rebuild the step whenever
+    emitter sets may have changed; `Renderer` does this per config.
+
     `row_offset`/`full_height` render a row block of a taller image (the
     sharded path: each chip differentiates its own tile — see
     parallel/shard.py); `interpret` runs the Pallas backend in interpret
@@ -105,7 +117,6 @@ def render_radiance(
             backend == "pallas"
             and light_idx is not None
             and scene.boxes.count == 0
-            and scene.triangles.count == 0
             and scene.spheres.count > 0
         ):
             # The fast path: forward = the production fused NEE megakernel,

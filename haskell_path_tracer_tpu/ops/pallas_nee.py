@@ -9,7 +9,11 @@ physical/NEE bounce loop — primary nearest-hit, per-bounce payload
 gather, cosine/specular BRDF sampling, cone light sampling, the dual
 (BSDF nearest + shadow occlusion) sphere fold, plane merge and emission
 bookkeeping — for ALL samples and ALL bounces of a dispatch, so a ray
-block's state never leaves VMEM.
+block's state never leaves VMEM.  Round 5 added triangles: geometry as
+a Möller–Trumbore scalar-SMEM stream folded after spheres/planes
+(checkHit's ascending-index tie-break), and triangle area lights in the
+NEE half (mixed light table; per-lane area sampling in
+render/nee.py:_tri_area_sample's exact op order).
 
 Layout: per-lane state lives in [8, R] tiles (8 independent ray groups
 in the sublane dim, so per-lane "glue" math runs at full VPU tile
@@ -287,11 +291,66 @@ def _merge_planes_ref(
     return t, prim
 
 
+def _mt_row(tvx, tvy, tvz, e1x, e1y, e1z, e2x, e2y, e2z, en,
+            ddx, ddy, ddz, rej):
+    """One triangle's Möller–Trumbore distance on rows, in
+    `ops/intersect.py:triangle_distances`' exact f32 op order (one-sided,
+    area-scaled front-face test `det <= en` with en = 1e-6 * |e1 x e2|;
+    `rej` acceptance floor); INFINITE on miss.  `tv* = origin - v0`."""
+    pvx = ddy * e2z - ddz * e2y
+    pvy = ddz * e2x - ddx * e2z
+    pvz = ddx * e2y - ddy * e2x
+    det = pvx * e1x + pvy * e1y + pvz * e1z
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (ddx * qvx + ddy * qvy + ddz * qvz) * inv_det
+    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    miss = (
+        (det <= en)
+        | (u < 0.0)
+        | (v < 0.0)
+        | (u + v > 1.0)
+        | (tt < rej)
+    )
+    return jnp.where(miss, INFINITE, tt)
+
+
+def _merge_tris_ref(
+    tri_ref, num_tris, base, t, prim, ox, oy, oz, dx, dy, dz,
+    reject_below, bx=None, by=None, bz=None, t_l=None, lgi=None, occ=None,
+):
+    """Fold triangles into the running best (strict <, ascending global
+    index `base + k` — checkHit's spheres < planes < triangles order);
+    with shadow args also any-hit occlusion in [EPSILON, t_l) along
+    (bx, by, bz) excluding the sampled light `lgi`
+    (ops/intersect.py:shadow_occluded's triangle window).  `tvec` is
+    shared between the two directions (same origin)."""
+    for k in range(num_tris):
+        r = [tri_ref[k, i] for i in range(10)]
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, en) = r
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        td = _mt_row(tvx, tvy, tvz, e1x, e1y, e1z, e2x, e2y, e2z, en,
+                     dx, dy, dz, reject_below)
+        better = td < t
+        t = jnp.where(better, td, t)
+        prim = jnp.where(better, base + k, prim)
+        if bx is not None:
+            sd = _mt_row(tvx, tvy, tvz, e1x, e1y, e1z, e2x, e2y, e2z, en,
+                         bx, by, bz, EPSILON)
+            occ = occ | (
+                (sd < t_l) & (base + k != lgi)
+            ).astype(jnp.int32)
+    return t, prim, occ
+
+
 def _primary_kernel(
-    geom_ref, plane_ref,
+    geom_ref, plane_ref, tri_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     t_ref, prim_ref,
-    *, num_spheres, num_planes, unroll,
+    *, num_spheres, num_planes, num_tris, unroll,
 ):
     """Camera-ray nearest hit only (eps = 0 acceptance): the presort
     probe.  Runs the identical fold/merge formulas as the bounce loop,
@@ -306,19 +365,26 @@ def _primary_kernel(
         ox_ref[:, :], oy_ref[:, :], oz_ref[:, :],
         dx_ref[:, :], dy_ref[:, :], dz_ref[:, :], 0.0,
     )
+    if num_tris:
+        t, prim, _ = _merge_tris_ref(
+            tri_ref, num_tris, num_spheres + num_planes, t, prim,
+            ox_ref[:, :], oy_ref[:, :], oz_ref[:, :],
+            dx_ref[:, :], dy_ref[:, :], dz_ref[:, :], 0.0,
+        )
     t_ref[:, :] = t
     prim_ref[:, :] = prim
 
 
 def _nee_kernel(
     geom_ref,    # SMEM [P, 4] f32: cx, cy, cz, r2
-    gat_ref,     # VMEM [16, P] f32: cr cg cb il cx cy cz param kind rad 0..
+    gat_ref,     # VMEM [16, P+T] f32: cr cg cb il aux(3) param kind rad 0..
     plane_ref,   # SMEM [M?, 12] f32: px py pz nx ny nz cr cg cb il param kind
-    light_ref,   # SMEM [L?, 8] f32: lx ly lz radius er eg eb gidx
+    tri_ref,     # SMEM [T?, 10] f32: v0(3) e1(3) e2(3) en
+    light_ref,   # SMEM [L?, 15] f32: kind gidx er eg eb c|v0(3) rad e1(3) e2(3)
     *refs,
     # refs: ox oy oz dx dy dz ra rb rc rctr [t0 p0] | rad_r rad_g rad_b
     #       ora orb orc orctr
-    spp, num_bounces, num_spheres, num_planes, num_lights,
+    spp, num_bounces, num_spheres, num_planes, num_tris, num_lights,
     has_glossy, has_diel, block_skip=True, unroll=8,
     primary_inputs=False, regenerate=True, telemetry=False,
     grad_residuals=False,
@@ -364,12 +430,14 @@ def _nee_kernel(
          ora_ref, orb_ref, orc_ref, orctr_ref) = refs
         t0_ref = p0_ref = None
     P = num_spheres
+    M = num_planes
+    T = num_tris
     R = ox_ref.shape[1]
     pox, poy, poz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
     pdx, pdy, pdz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
 
-    gatT = gat_ref[:, :]  # [16, P]
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, R), 0)
+    gatT = gat_ref[:, :]  # [16, P+T]
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P + T, R), 0)
 
     def per_group(fn, *args, n_out=1):
         """Run `fn` on each [1, R] sublane row of the [8, R] args and
@@ -393,17 +461,25 @@ def _nee_kernel(
         )
 
     def payload(t, prim, ox, oy, oz, dx, dy, dz):
-        """Hit payload: one-hot MXU gather for spheres (exact at HIGHEST
-        precision), unrolled SMEM selects for planes.
+        """Hit payload: one-hot MXU gather for spheres AND triangles
+        (exact at HIGHEST precision; triangle aux rows carry the unit
+        normal where sphere rows carry the center), unrolled SMEM
+        selects for planes.
 
-        The fold's winner t needs NO recompute: `_sphere_fold` runs
-        sphere_distances' exact clamp form, so its t is already the XLA
-        path's value bit-for-bit (the round-4 grazing-band recompute was
-        removed with that fix)."""
+        The fold's winner t needs NO recompute: every fold runs its XLA
+        twin's exact clamp/op form, so t is already the XLA path's value
+        bit-for-bit (the round-4 grazing-band recompute was removed with
+        that fix)."""
         hit = t < INFINITE
+        # Gather-column space: spheres 0..P-1, triangles P..P+T-1.
+        # Global prims: spheres [0,P), planes [P,P+M), tris [P+M,P+M+T);
+        # plane winners map onto columns that may alias tri columns, but
+        # every gathered field a plane lane uses is overwritten by the
+        # SMEM selects below.
+        gcol = jnp.where(prim >= P + M, prim - M, prim) if T else prim
 
-        def gather_g(prim_, hit_):
-            onehot = ((iota_p == prim_) & hit_).astype(jnp.float32)
+        def gather_g(gcol_, hit_):
+            onehot = ((iota_p == gcol_) & hit_).astype(jnp.float32)
             g = jax.lax.dot_general(
                 gatT, onehot, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
@@ -412,9 +488,9 @@ def _nee_kernel(
             return tuple(g[v : v + 1] for v in range(9))
 
         (cr, cg, cb, il, ax, ay, az, param, kind) = per_group(
-            gather_g, prim, hit, n_out=9
+            gather_g, gcol, hit, n_out=9
         )
-        is_plane = prim >= P
+        is_plane = (prim >= P) & (prim < P + M) if T else prim >= P
         for j in range(num_planes):
             m = prim == P + j
             cr = jnp.where(m, plane_ref[j, 6], cr)
@@ -444,6 +520,11 @@ def _nee_kernel(
         t0, prim0 = merge_planes(
             t0, prim0, pox, poy, poz, pdx, pdy, pdz, 0.0
         )
+        if T:
+            t0, prim0, _ = _merge_tris_ref(
+                tri_ref, T, P + M, t0, prim0,
+                pox, poy, poz, pdx, pdy, pdz, 0.0,
+            )
 
     def live_body(operands):
         """ONE bounce of the physical/NEE estimator for every lane of
@@ -462,7 +543,8 @@ def _nee_kernel(
          ax, ay, az) = payload(t, prim, ox, oy, oz, dx, dy, dz)
 
         # Hit point + normal (sphere: normalize(point - center);
-        # plane: stored normal) — ops/intersect.py:hit_from_t_prim.
+        # plane/triangle: stored unit normal in aux) —
+        # ops/intersect.py:hit_from_t_prim.
         t_safe = jnp.where(hit, t, 0.0)
         hx = ox + dx * t_safe
         hy = oy + dy * t_safe
@@ -470,12 +552,13 @@ def _nee_kernel(
         # Divide (not reciprocal-multiply): normalize_safe's exact op
         # sequence — a 1-ulp normal difference propagates into every
         # downstream accept/reject comparison of the XLA twin.
+        use_aux = (is_plane | (prim >= P + M)) if T else is_plane
         sx, sy, sz = hx - ax, hy - ay, hz - az
         sq = _dot3(sx, sy, sz, sx, sy, sz)
         nrm = jnp.maximum(jnp.sqrt(sq), 1e-20)
-        nx = jnp.where(is_plane, ax, sx / nrm)
-        ny = jnp.where(is_plane, ay, sy / nrm)
-        nz = jnp.where(is_plane, az, sz / nrm)
+        nx = jnp.where(use_aux, ax, sx / nrm)
+        ny = jnp.where(use_aux, ay, sy / nrm)
+        nz = jnp.where(use_aux, az, sz / nrm)
 
         # Emission pickup (NEE rule: specular chains + planes).
         take = (prev_spec != 0) | is_plane
@@ -546,8 +629,11 @@ def _nee_kernel(
             is_spec = is_spec | is_d
 
         if num_lights:
-            # Light draw (3 uniforms) + rank selection + cone
-            # sample — render/nee.py:_trace_physical_fused body.
+            # Light draw (3 uniforms) + rank selection + cone/area
+            # sample — render/nee.py:sample_light body (the rank rule
+            # k = floor(us0 * L) indexes the precomputed light list,
+            # which enumerates the mask's set bits — identical
+            # selection to the cdf-argmax).
             us0, us1, us2, (ra2, rb2, rc2, rctr2) = _draw3(
                 (ra2, rb2, rc2, rctr2)
             )
@@ -556,37 +642,85 @@ def _nee_kernel(
                 0.0,
                 np.float32(num_lights - 1),
             ).astype(jnp.int32)
-            lx = jnp.zeros((8, R), jnp.float32)
-            ly = jnp.zeros((8, R), jnp.float32)
-            lz = jnp.zeros((8, R), jnp.float32)
-            lrad = jnp.zeros((8, R), jnp.float32)
-            ler = jnp.zeros((8, R), jnp.float32)
-            leg = jnp.zeros((8, R), jnp.float32)
-            leb = jnp.zeros((8, R), jnp.float32)
-            # global index rides the table as f32 (exact < 2^24)
-            lgif = jnp.zeros((8, R), jnp.float32)
+            # Row layout: kind gidx er eg eb c|v0(3) rad e1(3) e2(3).
+            n_sel = 15 if T else 9
+            sel = [jnp.zeros((8, R), jnp.float32) for _ in range(n_sel)]
             for j in range(num_lights):
                 m = k == j
-                lx = jnp.where(m, light_ref[j, 0], lx)
-                ly = jnp.where(m, light_ref[j, 1], ly)
-                lz = jnp.where(m, light_ref[j, 2], lz)
-                lrad = jnp.where(m, light_ref[j, 3], lrad)
-                ler = jnp.where(m, light_ref[j, 4], ler)
-                leg = jnp.where(m, light_ref[j, 5], leg)
-                leb = jnp.where(m, light_ref[j, 6], leb)
-                lgif = jnp.where(m, light_ref[j, 7], lgif)
+                for c in range(n_sel):
+                    sel[c] = jnp.where(m, light_ref[j, c], sel[c])
+            (lkind, lgif, ler, leg, leb, lx, ly, lz, lrad) = sel[:9]
             lgi = lgif.astype(jnp.int32)
-            bx, by, bz, solid_angle = _cone_sample(
+            bxs, bys, bzs, solid_angle = _cone_sample(
                 lx, ly, lz, lrad, hx, hy, hz, us1, us2
             )
-            inv_pdf = jnp.where(
-                solid_angle > 1e-9,
-                solid_angle * np.float32(num_lights),
-                0.0,
-            )
-            t_l = _sphere_t_single(
-                hx, hy, hz, bx, by, bz, lx, ly, lz, lrad
-            )
+            if T:
+                # Triangle-area branch (render/nee.py:_tri_area_sample
+                # op order, computed for every lane and selected by the
+                # light row's kind — exactly the XLA where-select).
+                (e1x, e1y, e1z, e2x, e2y, e2z) = sel[9:15]
+                ncx = e1y * e2z - e1z * e2y
+                ncy = e1z * e2x - e1x * e2z
+                ncz = e1x * e2y - e1y * e2x
+                nq = ncx * ncx + ncy * ncy + ncz * ncz
+                n_norm_s = jnp.sqrt(jnp.maximum(nq, 1e-20))
+                nux = ncx / n_norm_s
+                nuy = ncy / n_norm_s
+                nuz = ncz / n_norm_s
+                area = 0.5 * n_norm_s
+                r1s = jnp.sqrt(jnp.maximum(us1, 1e-12))
+                bu = 1.0 - r1s
+                bv = us2 * r1s
+                qx = lx + e1x * bu + e2x * bv
+                qy = ly + e1y * bu + e2y * bv
+                qz = lz + e1z * bu + e2z * bv
+                tqx, tqy, tqz = qx - hx, qy - hy, qz - hz
+                d2q = jnp.maximum(
+                    _dot3(tqx, tqy, tqz, tqx, tqy, tqz), 1e-12
+                )
+                sdq = jnp.sqrt(d2q)
+                btx, bty, btz = tqx / sdq, tqy / sdq, tqz / sdq
+                cos_l = -_dot3(btx, bty, btz, nux, nuy, nuz)
+                min_d2 = np.float32((2.0 * EPSILON) ** 2)
+                ip_t = jnp.where(
+                    (cos_l > 1e-6) & (d2q >= min_d2),
+                    area * cos_l / d2q,
+                    0.0,
+                )
+                is_tl = lkind != 0.0
+                bx = jnp.where(is_tl, btx, bxs)
+                by = jnp.where(is_tl, bty, bys)
+                bz = jnp.where(is_tl, btz, bzs)
+                inv_pdf_dir = jnp.where(is_tl, ip_t, solid_angle)
+                # t_l: both closed forms from the SELECTED direction
+                # (render/nee.py:sample_light); the tri branch is
+                # _tri_t_single's per-lane Möller-Trumbore with its
+                # UNCLAMPED |e1 x e2| in the front-face test.
+                t_l_s = _sphere_t_single(
+                    hx, hy, hz, bx, by, bz, lx, ly, lz, lrad
+                )
+                tvx, tvy, tvz = hx - lx, hy - ly, hz - lz
+                en_l = PLANE_DENOM_EPS * jnp.sqrt(nq)
+                t_l_t = _mt_row(
+                    tvx, tvy, tvz, e1x, e1y, e1z, e2x, e2y, e2z,
+                    en_l, bx, by, bz, EPSILON,
+                )
+                t_l = jnp.where(is_tl, t_l_t, t_l_s)
+                inv_pdf = jnp.where(
+                    inv_pdf_dir > 1e-9,
+                    inv_pdf_dir * np.float32(num_lights),
+                    0.0,
+                )
+            else:
+                bx, by, bz = bxs, bys, bzs
+                inv_pdf = jnp.where(
+                    solid_angle > 1e-9,
+                    solid_angle * np.float32(num_lights),
+                    0.0,
+                )
+                t_l = _sphere_t_single(
+                    hx, hy, hz, bx, by, bz, lx, ly, lz, lrad
+                )
         else:
             # Zero-light scenes still advance the stream by the 3
             # light-sampling draws: both XLA NEE paths
@@ -619,6 +753,18 @@ def _nee_kernel(
         t2, prim2 = merge_planes(
             t2, prim2, hx, hy, hz, ndx, ndy, ndz, EPSILON
         )
+        if T:
+            if num_lights:
+                t2, prim2, occ = _merge_tris_ref(
+                    tri_ref, T, P + M, t2, prim2,
+                    hx, hy, hz, ndx, ndy, ndz, EPSILON,
+                    bx, by, bz, t_l, lgi, occ,
+                )
+            else:
+                t2, prim2, _ = _merge_tris_ref(
+                    tri_ref, T, P + M, t2, prim2,
+                    hx, hy, hz, ndx, ndy, ndz, EPSILON,
+                )
         if num_lights:
             for j in range(num_planes):
                 prow = [plane_ref[j, kk] for kk in range(6)]
@@ -840,13 +986,24 @@ def _nee_kernel(
 
 
 def scene_light_indices(scene: Scene):
-    """STATIC (host-side) emissive-sphere index tuple, or None when the
+    """STATIC (host-side) NEE-emitter index tuple in `sample_light`'s
+    mask space (spheres ++ triangles: idx < n_spheres names a sphere,
+    idx >= n_spheres names triangle idx - n_spheres), or None when the
     scene's illuminance is traced (then the caller must fall back to the
     XLA path — the kernel needs a static light count)."""
     il = scene.spheres.material.illuminance
     if isinstance(il, jax.core.Tracer):
         return None
-    return tuple(int(i) for i in np.nonzero(np.asarray(il) > 0.0)[0])
+    idx = [int(i) for i in np.nonzero(np.asarray(il) > 0.0)[0]]
+    if scene.triangles.count:
+        til = scene.triangles.material.illuminance
+        if isinstance(til, jax.core.Tracer):
+            return None
+        ns = scene.spheres.count
+        idx += [
+            ns + int(i) for i in np.nonzero(np.asarray(til) > 0.0)[0]
+        ]
+    return tuple(idx)
 
 
 def supported_backend(backend: str | None = None) -> bool:
@@ -854,15 +1011,21 @@ def supported_backend(backend: str | None = None) -> bool:
 
 
 def nee_pallas_eligible(scene: Scene, backend: str | None = None) -> bool:
-    """The fused NEE megakernel covers sphere+plane scenes with a static
-    (concrete) material/light description, on TPU."""
+    """The fused NEE megakernel covers sphere+plane+triangle scenes with
+    a static (concrete) material/light description, on TPU (round 5
+    added triangles — geometry in the fold, area lights in the NEE half;
+    boxes remain the XLA fallback's)."""
     if (backend or jax.default_backend()) != "tpu":
         return False
-    if scene.boxes.count or scene.triangles.count:
+    if scene.boxes.count:
         return False
     if scene.spheres.count == 0 or scene.spheres.count >= (1 << 24):
         return False
     if isinstance(scene.spheres.material.brdf_kind, jax.core.Tracer):
+        return False
+    if scene.triangles.count and isinstance(
+        scene.triangles.material.brdf_kind, jax.core.Tracer
+    ):
         return False
     return scene_light_indices(scene) is not None
 
@@ -922,12 +1085,15 @@ def trace_physical_nee_pallas(
     has_glossy = kinds is None or BRDF_GLOSSY in kinds
     has_diel = kinds is None or BRDF_DIELECTRIC in kinds
 
-    geom, gatT, plane_tab, light_tab = _nee_scene_tables(scene, light_idx)
+    geom, gatT, plane_tab, tri_tab, light_tab = _nee_scene_tables(
+        scene, light_idx
+    )
     return _trace_nee_from_tables(
-        geom, gatT, plane_tab, light_tab,
+        geom, gatT, plane_tab, tri_tab, light_tab,
         rays.origin, rays.direction, rng_state,
         num_spheres=scene.spheres.count,
         num_planes=scene.planes.count,
+        num_tris=scene.triangles.count,
         num_lights=len(light_idx),
         has_glossy=has_glossy,
         has_diel=has_diel,
@@ -944,12 +1110,28 @@ def trace_physical_nee_pallas(
 
 
 def _nee_scene_tables(scene: Scene, light_idx):
-    """Pack the scene into the kernel's four tables.  A differentiable
+    """Pack the scene into the kernel's five tables.  A differentiable
     function of the continuous Scene leaves — the custom-VJP wrapper
     (ops/pallas_nee_vjp.py) differentiates at the table boundary and lets
-    this packing carry cotangents back to sphere/plane/light leaves."""
+    this packing carry cotangents back to sphere/plane/tri/light leaves.
+
+    Tables:
+      geom      [P, 4] SMEM    cx cy cz r^2 (the sphere fold stream)
+      gatT      [16, P+T] VMEM one-hot payload gather: color(3),
+                illuminance, aux(3) = sphere center | tri unit normal,
+                brdf_param, brdf_kind, sphere radius (VJP geom)
+      plane_tab [M, 12] SMEM
+      tri_tab   [T, 10] SMEM   v0(3) e1(3) e2(3) en = 1e-6 * |e1 x e2|
+                (the Möller–Trumbore stream; e1/e2/en precomputed with
+                the same jnp expressions triangle_distances traces, so
+                values are identical)
+      light_tab [L, 15] SMEM   kind, global prim idx, emission(3),
+                center|v0(3), radius(1; tri rows recompute area
+                per-lane like _tri_area_sample), e1(3), e2(3)
+    """
     P = scene.spheres.count
     M = scene.planes.count
+    T = scene.triangles.count
     L = len(light_idx)
     pos = scene.spheres.pos
     radius = scene.spheres.radius
@@ -957,18 +1139,55 @@ def _nee_scene_tables(scene: Scene, light_idx):
     geom = jnp.stack(
         [pos[:, 0], pos[:, 1], pos[:, 2], radius * radius], axis=-1
     )  # [P, 4] — streamed from SMEM by the scalar fold
-    gatT = jnp.concatenate(
-        [
-            mat.color.T,                      # rows 0-2
-            mat.illuminance[None, :],         # 3
-            pos.T,                            # 4-6
-            mat.brdf_param[None, :],          # 7
-            mat.brdf_kind.astype(jnp.float32)[None, :],  # 8
-            radius[None, :],                  # 9 (VJP geom derivation)
-            jnp.zeros((6, P), jnp.float32),
-        ],
-        axis=0,
-    )  # [16, P]
+    gat_cols = [
+        jnp.concatenate(
+            [
+                mat.color.T,                      # rows 0-2
+                mat.illuminance[None, :],         # 3
+                pos.T,                            # 4-6
+                mat.brdf_param[None, :],          # 7
+                mat.brdf_kind.astype(jnp.float32)[None, :],  # 8
+                radius[None, :],                  # 9 (VJP geom derivation)
+                jnp.zeros((6, P), jnp.float32),
+            ],
+            axis=0,
+        )
+    ]
+    if T:
+        tr = scene.triangles
+        tm = tr.material
+        e1 = tr.v1 - tr.v0
+        e2 = tr.v2 - tr.v0
+        n = jnp.cross(e1, e2)
+        # hit_from_t_prim's triangle normal: normalize_safe(cross) —
+        # identical expression, identical value.
+        n_unit = n / jnp.maximum(
+            jnp.sqrt(jnp.sum(n * n, axis=-1)), 1e-20
+        )[..., None]
+        gat_cols.append(
+            jnp.concatenate(
+                [
+                    tm.color.T,
+                    tm.illuminance[None, :],
+                    n_unit.T,                     # aux = unit normal
+                    tm.brdf_param[None, :],
+                    tm.brdf_kind.astype(jnp.float32)[None, :],
+                    jnp.zeros((7, T), jnp.float32),
+                ],
+                axis=0,
+            )
+        )
+        n_norm = jnp.sqrt(jnp.sum(n * n, axis=-1))
+        tri_tab = jnp.concatenate(
+            [
+                tr.v0, e1, e2,
+                (PLANE_DENOM_EPS * n_norm)[:, None],
+            ],
+            axis=-1,
+        )  # [T, 10]
+    else:
+        tri_tab = jnp.zeros((1, 10), jnp.float32)
+    gatT = jnp.concatenate(gat_cols, axis=-1)  # [16, P+T]
 
     if M:
         pm = scene.planes.material
@@ -987,25 +1206,51 @@ def _nee_scene_tables(scene: Scene, light_idx):
         plane_tab = jnp.zeros((1, 12), jnp.float32)
 
     if L:
-        li = jnp.asarray(light_idx, jnp.int32)
-        light_tab = jnp.concatenate(
-            [
-                pos[li],
-                radius[li][:, None],
-                mat.color[li] * mat.illuminance[li][:, None],
-                li[:, None].astype(jnp.float32),
-            ],
-            axis=-1,
-        )  # [L, 8]
+        li = np.asarray(light_idx, np.int64)
+        rows = []
+        for i in li:
+            if i < P:
+                s = int(i)
+                rows.append(
+                    jnp.concatenate(
+                        [
+                            jnp.zeros((1,), jnp.float32),  # kind = sphere
+                            jnp.full((1,), np.float32(s)),  # global prim
+                            mat.color[s] * mat.illuminance[s],
+                            pos[s],
+                            radius[s][None],
+                            jnp.zeros((6,), jnp.float32),
+                        ]
+                    )
+                )
+            else:
+                k = int(i) - P
+                tr = scene.triangles
+                tm = tr.material
+                gidx = P + M + k  # global prim index space
+                rows.append(
+                    jnp.concatenate(
+                        [
+                            jnp.ones((1,), jnp.float32),  # kind = tri
+                            jnp.full((1,), np.float32(gidx)),
+                            tm.color[k] * tm.illuminance[k],
+                            tr.v0[k],
+                            jnp.zeros((1,), jnp.float32),
+                            tr.v1[k] - tr.v0[k],
+                            tr.v2[k] - tr.v0[k],
+                        ]
+                    )
+                )
+        light_tab = jnp.stack(rows)  # [L, 15]
     else:
-        light_tab = jnp.zeros((1, 8), jnp.float32)
-    return geom, gatT, plane_tab, light_tab
+        light_tab = jnp.zeros((1, 15), jnp.float32)
+    return geom, gatT, plane_tab, tri_tab, light_tab
 
 
 def _trace_nee_from_tables(
-    geom, gatT, plane_tab, light_tab, ray_o, ray_d, rng_state,
-    *, num_spheres, num_planes, num_lights, has_glossy, has_diel,
-    num_bounces, spp, block_r=DEFAULT_BLOCK_R, interpret=False,
+    geom, gatT, plane_tab, tri_tab, light_tab, ray_o, ray_d, rng_state,
+    *, num_spheres, num_planes, num_tris, num_lights, has_glossy,
+    has_diel, num_bounces, spp, block_r=DEFAULT_BLOCK_R, interpret=False,
     block_skip=True, unroll=32, presort=None, regenerate=None,
     telemetry=False, grad_residuals=False,
 ):
@@ -1017,6 +1262,7 @@ def _trace_nee_from_tables(
     shape = rng_state.shape[:-1]
     n = int(np.prod(shape))
     P, M, L = num_spheres, num_planes, num_lights
+    T = num_tris
     rays_origin, rays_direction = ray_o, ray_d
 
     # Rays are laid out [8, N/8]: 8 sublane groups x lane columns; a
@@ -1118,10 +1364,11 @@ def _trace_nee_from_tables(
         t0f, p0f = pl.pallas_call(
             functools.partial(
                 _primary_kernel, num_spheres=P, num_planes=M,
-                unroll=unroll,
+                num_tris=T, unroll=unroll,
             ),
             grid=(blocks,),
-            in_specs=[smem_spec(geom), smem_spec(plane_tab)]
+            in_specs=[smem_spec(geom), smem_spec(plane_tab),
+                      smem_spec(tri_tab)]
             + [col_spec] * 6,
             out_specs=[col_spec] * 2,
             out_shape=[
@@ -1130,7 +1377,7 @@ def _trace_nee_from_tables(
             ],
             compiler_params=cparams,
             interpret=interpret,
-        )(geom, plane_tab, *[plane2d(f) for f in flat_ins[:6]])
+        )(geom, plane_tab, tri_tab, *[plane2d(f) for f in flat_ins[:6]])
         t0f = t0f.reshape(-1)[:n]
         p0f = p0f.reshape(-1)[:n]
         # Ascending primary depth; INFINITE (sky) sorts last; stable, so
@@ -1176,6 +1423,7 @@ def _trace_nee_from_tables(
         num_bounces=num_bounces,
         num_spheres=P,
         num_planes=M,
+        num_tris=T,
         num_lights=L,
         has_glossy=has_glossy,
         has_diel=has_diel,
@@ -1195,6 +1443,7 @@ def _trace_nee_from_tables(
             smem_spec(geom),
             table_spec(gatT),
             smem_spec(plane_tab),
+            smem_spec(tri_tab),
             smem_spec(light_tab),
         ]
         + [col_spec] * len(comp_ins),
@@ -1211,7 +1460,7 @@ def _trace_nee_from_tables(
         # inside the chip's physical VMEM.
         compiler_params=cparams,
         interpret=interpret,
-    )(geom, gatT, plane_tab, light_tab, *comp_ins)
+    )(geom, gatT, plane_tab, tri_tab, light_tab, *comp_ins)
 
     if pos is not None:
         # Undo the presort: lane i's result sits at rank pos[i], whose

@@ -74,6 +74,7 @@ from .pallas_nee import (
     _dot3,
     _draw3,
     _merge_planes_ref,
+    _merge_tris_ref,
     _nee_scene_tables,
     _plane_t,
     _sphere_fold,
@@ -94,10 +95,10 @@ _STI_PLANES = 3
 
 
 def _continuous_bounce(
-    gatT, plane_flat, light_flat,
+    gatT, plane_flat, tri_gat, light_flat,
     ox, oy, oz, dx, dy, dz, th_r, th_g, th_b,
     *, t_det, prim, prev_spec, dead, u1, u2, u3, us0, us1, us2, occ,
-    P, M, L, has_glossy, has_diel, want_aux=False,
+    P, M, T, L, has_glossy, has_diel, want_aux=False,
 ):
     """One bounce's CONTINUOUS math — everything in
     `pallas_nee._nee_kernel.live_body` except the sphere fold — with every
@@ -118,7 +119,7 @@ def _continuous_bounce(
     """
     R = ox.shape[1]
     hit = t_det < INFINITE
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, R), 0)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P + T, R), 0)
 
     def per_group(fn, *args, n_out=1):
         outs = [fn(*[a[g : g + 1] for a in args]) for g in range(8)]
@@ -129,8 +130,13 @@ def _continuous_bounce(
             for i in range(n_out)
         )
 
-    def gather_g(prim_, hit_):
-        onehot = ((iota_p == prim_) & hit_).astype(jnp.float32)
+    # Gather-column space: spheres 0..P-1, triangles P..P+T-1 (plane
+    # winners alias harmlessly — every field they use is overwritten by
+    # the plane selects; pallas_nee.payload's convention).
+    gcol = jnp.where(prim >= P + M, prim - M, prim) if T else prim
+
+    def gather_g(gcol_, hit_):
+        onehot = ((iota_p == gcol_) & hit_).astype(jnp.float32)
         g = jax.lax.dot_general(
             gatT, onehot, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
@@ -139,10 +145,11 @@ def _continuous_bounce(
         return tuple(g[v : v + 1] for v in range(10))
 
     (cr, cg, cb, il, ax, ay, az, param, kind, srad) = per_group(
-        gather_g, prim, hit, n_out=10
+        gather_g, gcol, hit, n_out=10
     )
-    is_plane = prim >= P
-    is_sphere_hit = hit & ~is_plane
+    is_plane = ((prim >= P) & (prim < P + M)) if T else prim >= P
+    is_tri = (prim >= P + M) if T else jnp.zeros_like(hit)
+    is_sphere_hit = hit & (prim < P)
 
     # Differentiable winner-t.  Planes first (detached base t_det carries
     # the value for lanes no recompute below touches, i.e. misses).
@@ -162,6 +169,52 @@ def _continuous_bounce(
         jnp.sqrt(jnp.where(outside, 1.0, jnp.maximum(r2_e - d2_e, 1e-12))),
     )
     t = jnp.where(is_sphere_hit, tca_e - thc_e, t)
+
+    if T:
+        # Triangle winners: gather v0/e1/e2 through a second one-hot
+        # matmul ([16, T] tri_gat), recompute the winner's Möller-
+        # Trumbore distance (bit-equal to the fold's _mt_row: same
+        # scalars, same op order) and the unit normal (bit-equal to the
+        # table's n_unit build) — both differentiable in the vertex
+        # leaves via the gather's transpose.
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, R), 0)
+
+        def gather_tri(prim_, hit_):
+            onehot = (
+                (iota_t == (prim_ - (P + M))) & hit_
+            ).astype(jnp.float32)
+            g = jax.lax.dot_general(
+                tri_gat, onehot, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return tuple(g[v : v + 1] for v in range(9))
+
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = per_group(
+            gather_tri, prim, hit & is_tri, n_out=9
+        )
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = pvx * e1x + pvy * e1y + pvz * e1z
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        t = jnp.where(is_tri & hit, tt, t)
+        # Unit normal (n_unit table expression; backward-safe clamp).
+        ncx = e1y * e2z - e1z * e2y
+        ncy = e1z * e2x - e1x * e2z
+        ncz = e1x * e2y - e1y * e2x
+        nnq = jnp.maximum(
+            _dot3(ncx, ncy, ncz, ncx, ncy, ncz), 1e-30
+        )
+        nnorm = jnp.maximum(jnp.sqrt(nnq), 1e-20)
+        ax = jnp.where(is_tri, ncx / nnorm, ax)
+        ay = jnp.where(is_tri, ncy / nnorm, ay)
+        az = jnp.where(is_tri, ncz / nnorm, az)
 
     # Plane-winner material/normal rows (scalar selects, differentiable
     # w.r.t. the plane scalars).
@@ -188,12 +241,13 @@ def _continuous_bounce(
     hz = oz + dz * t_safe
     # Divide form (normalize_safe's op sequence, matching the forward
     # kernel bit-for-bit); the inner max is a backward-only NaN guard.
+    use_aux = is_plane | is_tri if T else is_plane
     sx, sy, sz = hx - ax, hy - ay, hz - az
     sq = _dot3(sx, sy, sz, sx, sy, sz)
     nrm = jnp.maximum(jnp.sqrt(jnp.maximum(sq, 1e-30)), 1e-20)
-    nx = jnp.where(is_plane, ax, sx / nrm)
-    ny = jnp.where(is_plane, ay, sy / nrm)
-    nz = jnp.where(is_plane, az, sz / nrm)
+    nx = jnp.where(use_aux, ax, sx / nrm)
+    ny = jnp.where(use_aux, ay, sy / nrm)
+    nz = jnp.where(use_aux, az, sz / nrm)
 
     # Emission pickup (NEE rule: specular chains + planes).
     take = (prev_spec != 0) | is_plane
@@ -268,23 +322,95 @@ def _continuous_bounce(
             jnp.floor(us0 * np.float32(L)), 0.0, np.float32(L - 1)
         ).astype(jnp.int32)
         zero = jnp.zeros_like(ox)
-        lx = ly = lz = lrad = ler = leg = leb = zero
+        n_sel = 15 if T else 9
+        sel = [zero for _ in range(n_sel)]
         for j in range(L):
             m = k == j
-            lx = jnp.where(m, light_flat[j * 8 + 0], lx)
-            ly = jnp.where(m, light_flat[j * 8 + 1], ly)
-            lz = jnp.where(m, light_flat[j * 8 + 2], lz)
-            lrad = jnp.where(m, light_flat[j * 8 + 3], lrad)
-            ler = jnp.where(m, light_flat[j * 8 + 4], ler)
-            leg = jnp.where(m, light_flat[j * 8 + 5], leg)
-            leb = jnp.where(m, light_flat[j * 8 + 6], leb)
-        bx, by, bz, solid_angle = _cone_sample(
+            for c in range(n_sel):
+                sel[c] = jnp.where(m, light_flat[j * 15 + c], sel[c])
+        (lkind, _lgif, ler, leg, leb, lx, ly, lz, lrad) = sel[:9]
+        bxs, bys, bzs, solid_angle = _cone_sample(
             lx, ly, lz, lrad, hx, hy, hz, us1, us2
         )
-        inv_pdf = jnp.where(
-            solid_angle > 1e-9, solid_angle * np.float32(L), 0.0
-        )
-        t_l = _sphere_t_single(hx, hy, hz, bx, by, bz, lx, ly, lz, lrad)
+        if T:
+            # Triangle-area branch (the forward kernel's exact ops;
+            # selection masks detached, geometry differentiable).
+            (le1x, le1y, le1z, le2x, le2y, le2z) = sel[9:15]
+            ncx = le1y * le2z - le1z * le2y
+            ncy = le1z * le2x - le1x * le2z
+            ncz = le1x * le2y - le1y * le2x
+            nq = jnp.maximum(
+                ncx * ncx + ncy * ncy + ncz * ncz, 1e-30
+            )
+            n_norm_s = jnp.sqrt(jnp.maximum(nq, 1e-20))
+            nux = ncx / n_norm_s
+            nuy = ncy / n_norm_s
+            nuz = ncz / n_norm_s
+            area = 0.5 * n_norm_s
+            r1s = jnp.sqrt(jnp.maximum(us1, 1e-12))
+            bu = 1.0 - r1s
+            bv = us2 * r1s
+            qx = lx + le1x * bu + le2x * bv
+            qy = ly + le1y * bu + le2y * bv
+            qz = lz + le1z * bu + le2z * bv
+            tqx, tqy, tqz = qx - hx, qy - hy, qz - hz
+            d2q = jnp.maximum(
+                _dot3(tqx, tqy, tqz, tqx, tqy, tqz), 1e-12
+            )
+            sdq = jnp.sqrt(d2q)
+            btx, bty, btz = tqx / sdq, tqy / sdq, tqz / sdq
+            cos_l = -_dot3(btx, bty, btz, nux, nuy, nuz)
+            min_d2 = np.float32((2.0 * EPSILON) ** 2)
+            ip_t = jnp.where(
+                (cos_l > 1e-6) & (d2q >= min_d2),
+                area * cos_l / d2q,
+                0.0,
+            )
+            is_tl = lkind != 0.0
+            bx = jnp.where(is_tl, btx, bxs)
+            by = jnp.where(is_tl, bty, bys)
+            bz = jnp.where(is_tl, btz, bzs)
+            inv_pdf_dir = jnp.where(is_tl, ip_t, solid_angle)
+            t_l_s = _sphere_t_single(
+                hx, hy, hz, bx, by, bz, lx, ly, lz, lrad
+            )
+            # t_l only feeds the detached visibility mask; a closed MT
+            # recompute keeps the primal bit-equal to the forward.
+            tvx2, tvy2, tvz2 = hx - lx, hy - ly, hz - lz
+            pv2x = by * le2z - bz * le2y
+            pv2y = bz * le2x - bx * le2z
+            pv2z = bx * le2y - by * le2x
+            det2 = pv2x * le1x + pv2y * le1y + pv2z * le1z
+            inv_det2 = 1.0 / jnp.where(
+                jnp.abs(det2) < 1e-30, 1e-30, det2
+            )
+            u2t = (tvx2 * pv2x + tvy2 * pv2y + tvz2 * pv2z) * inv_det2
+            qv2x = tvy2 * le1z - tvz2 * le1y
+            qv2y = tvz2 * le1x - tvx2 * le1z
+            qv2z = tvx2 * le1y - tvy2 * le1x
+            v2t = (bx * qv2x + by * qv2y + bz * qv2z) * inv_det2
+            tt2 = (le2x * qv2x + le2y * qv2y + le2z * qv2z) * inv_det2
+            en_l = np.float32(1e-6) * jnp.sqrt(nq)
+            miss2 = (
+                (det2 <= en_l)
+                | (u2t < 0.0)
+                | (v2t < 0.0)
+                | (u2t + v2t > 1.0)
+                | (tt2 < EPSILON)
+            )
+            t_l_t = jnp.where(miss2, INFINITE, tt2)
+            t_l = jnp.where(is_tl, t_l_t, t_l_s)
+            inv_pdf = jnp.where(
+                inv_pdf_dir > 1e-9, inv_pdf_dir * np.float32(L), 0.0
+            )
+        else:
+            bx, by, bz = bxs, bys, bzs
+            inv_pdf = jnp.where(
+                solid_angle > 1e-9, solid_angle * np.float32(L), 0.0
+            )
+            t_l = _sphere_t_single(
+                hx, hy, hz, bx, by, bz, lx, ly, lz, lrad
+            )
         # `occ` (fold + plane shadow tests) is a stored residual.
         visible = (occ == 0) & (t_l < INFINITE)
         cos_i = _dot3(bx, by, bz, nx, ny, nz)
@@ -318,16 +444,18 @@ def _continuous_bounce(
 
 def _nee_bwd_kernel(
     geom_ref,    # SMEM [P, 4] — the detached replay fold
-    gatT_ref,    # VMEM [16, P]
+    gatT_ref,    # VMEM [16, P+T]
     plane_ref,   # SMEM [M?, 12]
-    light_ref,   # SMEM [L?, 8]
+    tri_ref,     # SMEM [T?, 10] — the detached replay MT stream
+    tri_gat_ref,  # VMEM [16, T?] — v0/e1/e2 winner gather (cotangents)
+    light_ref,   # SMEM [L?, 15]
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     ra_ref, rb_ref, rc_ref, rctr_ref,
     gr_ref, gg_ref, gb_ref,
     *refs,
-    # refs: [gr_prim x B, gr_flag x B when fold_residuals]
-    #       dgat dplane dlight dox doy doz ddx ddy ddz | stf sti
-    spp, num_bounces, P, M, L, has_glossy, has_diel, unroll,
+    # refs: [gr_prim x spp*B, gr_flag x spp*B when fold_residuals]
+    #       dgat dplane dtri dlight dox doy doz ddx ddy ddz | stf sti
+    spp, num_bounces, P, M, T, L, has_glossy, has_diel, unroll,
     fold_residuals=False,
 ):
     gr_prim_refs = gr_flag_refs = None
@@ -339,19 +467,21 @@ def _nee_bwd_kernel(
         gr_prim_refs = refs[:n_gr]
         gr_flag_refs = refs[n_gr : 2 * n_gr]
         refs = refs[2 * n_gr :]
-    (dgat_ref,    # VMEM [16, P] — accumulated across the sequential grid
+    (dgat_ref,    # VMEM [16, P+T] — accumulated across the grid
      dplane_ref,  # SMEM [M?, 12] — accumulated
-     dlight_ref,  # SMEM [L?, 8] — accumulated
+     dtri_ref,    # VMEM [16, T?] — accumulated
+     dlight_ref,  # SMEM [L?, 15] — accumulated
      dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref,
      stf,         # VMEM scratch (B, _STF_PLANES, 8, R) f32
      sti,         # VMEM scratch (B, _STI_PLANES, 8, R) i32
      ) = refs
     gatT = gatT_ref[:, :]
+    tri_gat = tri_gat_ref[:, :]
     plane_flat = tuple(
         plane_ref[j, k] for j in range(M) for k in range(12)
     )
     light_flat = tuple(
-        light_ref[j, k] for j in range(L) for k in range(8)
+        light_ref[j, k] for j in range(L) for k in range(15)
     )
 
     pox, poy, poz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
@@ -376,17 +506,22 @@ def _nee_bwd_kernel(
         t0, prim0 = _merge_planes_ref(
             plane_ref, M, P, t0, prim0, pox, poy, poz, pdx, pdy, pdz, 0.0
         )
+        if T:
+            t0, prim0, _ = _merge_tris_ref(
+                tri_ref, T, P + M, t0, prim0,
+                pox, poy, poz, pdx, pdy, pdz, 0.0,
+            )
 
     core = functools.partial(
         _continuous_bounce,
-        P=P, M=M, L=L, has_glossy=has_glossy, has_diel=has_diel,
+        P=P, M=M, T=T, L=L, has_glossy=has_glossy, has_diel=has_diel,
     )
 
     def one_sample(s, carry):
         # `s` is the STATIC python sample index in fold_residuals mode
         # (residual-ref indexing); a traced fori_loop index otherwise
         # (unused except as a loop counter).
-        (ra, rb, rc, rctr, d_gat, d_plane, d_light,
+        (ra, rb, rc, rctr, d_gat, d_plane, d_tri, d_light,
          adox, adoy, adoz, addx, addy, addz) = carry
 
         # ---- forward replay, storing residuals in VMEM scratch ----
@@ -424,7 +559,7 @@ def _nee_bwd_kernel(
                 u1, u2, u3, rng_a = _draw3((ra, rb, rc, rctr))
                 us0, us1, us2, (ra2, rb2, rc2, rctr2) = _draw3(rng_a)
                 outs, aux = core(
-                    gatT, plane_flat, light_flat, *o3, *d3, *th3,
+                    gatT, plane_flat, tri_gat, light_flat, *o3, *d3, *th3,
                     t_det=t, prim=prim, prev_spec=prev_spec, dead=dead,
                     u1=u1, u2=u2, u3=u3, us0=us0, us1=us1, us2=us2,
                     occ=izeros, want_aux=True,
@@ -443,13 +578,14 @@ def _nee_bwd_kernel(
                         np.float32(L - 1),
                     ).astype(jnp.int32)
                     for j in range(L):
-                        lgif = jnp.where(k == j, light_ref[j, 7], lgif)
+                        lgif = jnp.where(k == j, light_ref[j, 1], lgif)
                     lgi = lgif.astype(jnp.int32)
                     t2, prim2, occ = _sphere_fold(
                         geom_ref, P, unroll, hx, hy, hz, ndx, ndy, ndz,
                         EPSILON, bx, by, bz, t_l, lgi,
                     )
                 else:
+                    lgi = None
                     t2, prim2, occ = _sphere_fold(
                         geom_ref, P, unroll, hx, hy, hz, ndx, ndy, ndz,
                         EPSILON,
@@ -459,6 +595,17 @@ def _nee_bwd_kernel(
                         plane_ref, M, P, t2, prim2, hx, hy, hz,
                         ndx, ndy, ndz, EPSILON,
                     )
+                    if T and L:
+                        t2, prim2, occ = _merge_tris_ref(
+                            tri_ref, T, P + M, t2, prim2,
+                            hx, hy, hz, ndx, ndy, ndz, EPSILON,
+                            bx, by, bz, t_l, lgi, occ,
+                        )
+                    elif T:
+                        t2, prim2, _ = _merge_tris_ref(
+                            tri_ref, T, P + M, t2, prim2,
+                            hx, hy, hz, ndx, ndy, ndz, EPSILON,
+                        )
                     if L:
                         for j in range(M):
                             prow = [plane_ref[j, kk] for kk in range(6)]
@@ -522,12 +669,13 @@ def _nee_bwd_kernel(
             def live_rev(args, dead_b=dead_b, t_b=t_b, prim_b=prim_b,
                          ps_b=ps_b, occ_b=occ_b, u_b=u_b, us_b=us_b,
                          o_b=o_b, d_b=d_b, th_b=th_b):
-                c_o, c_d, c_t, d_gat, d_plane, d_light = args
+                (c_o, c_d, c_t, d_gat, d_plane, d_tri,
+                 d_light) = args
 
-                def f(gat, pfl, lfl, a1, a2, a3, b1, b2, b3,
+                def f(gat, pfl, tg, lfl, a1, a2, a3, b1, b2, b3,
                       c1, c2, c3):
                     return core(
-                        gat, pfl, lfl, a1, a2, a3, b1, b2, b3,
+                        gat, pfl, tg, lfl, a1, a2, a3, b1, b2, b3,
                         c1, c2, c3,
                         t_det=t_b, prim=prim_b, prev_spec=ps_b,
                         dead=dead_b,
@@ -537,10 +685,11 @@ def _nee_bwd_kernel(
                     )
 
                 _, vjp_fn = jax.vjp(
-                    f, gatT, plane_flat, light_flat, *o_b, *d_b, *th_b
+                    f, gatT, plane_flat, tri_gat, light_flat,
+                    *o_b, *d_b, *th_b
                 )
                 cts = c_o + c_d + c_t + (g_r, g_g, g_b)
-                (dgat_b, dpl_b, dli_b,
+                (dgat_b, dpl_b, dtg_b, dli_b,
                  do1, do2, do3, dd1, dd2, dd3, dt1, dt2, dt3) = vjp_fn(
                     cts
                 )
@@ -548,6 +697,7 @@ def _nee_bwd_kernel(
                     (do1, do2, do3), (dd1, dd2, dd3), (dt1, dt2, dt3),
                     d_gat + dgat_b,
                     tuple(a + bb for a, bb in zip(d_plane, dpl_b)),
+                    d_tri + dtg_b,
                     tuple(a + bb for a, bb in zip(d_light, dli_b)),
                 )
 
@@ -555,19 +705,21 @@ def _nee_bwd_kernel(
                 # All-dead bounce: origin/direction cotangents pass
                 # through, throughput's are killed (d th_out / d th_in
                 # is the dead-mask zero), tables receive nothing.
-                c_o, c_d, c_t, d_gat, d_plane, d_light = args
+                (c_o, c_d, c_t, d_gat, d_plane, d_tri,
+                 d_light) = args
                 return (
                     c_o, c_d, (zeros, zeros, zeros),
-                    d_gat, d_plane, d_light,
+                    d_gat, d_plane, d_tri, d_light,
                 )
 
-            (c_o, c_d, c_t, d_gat, d_plane, d_light) = jax.lax.cond(
+            (c_o, c_d, c_t, d_gat, d_plane, d_tri,
+             d_light) = jax.lax.cond(
                 jnp.any(~dead_b), live_rev, dead_rev,
-                (c_o, c_d, c_t, d_gat, d_plane, d_light),
+                (c_o, c_d, c_t, d_gat, d_plane, d_tri, d_light),
             )
 
         return (
-            ra, rb, rc, rctr, d_gat, d_plane, d_light,
+            ra, rb, rc, rctr, d_gat, d_plane, d_tri, d_light,
             adox + c_o[0], adoy + c_o[1], adoz + c_o[2],
             addx + c_d[0], addy + c_d[1], addz + c_d[2],
         )
@@ -576,7 +728,8 @@ def _nee_bwd_kernel(
         ra_ref[:, :], rb_ref[:, :], rc_ref[:, :], rctr_ref[:, :],
         jnp.zeros(gatT.shape, jnp.float32),
         tuple(jnp.zeros((), jnp.float32) for _ in range(M * 12)),
-        tuple(jnp.zeros((), jnp.float32) for _ in range(L * 8)),
+        jnp.zeros(tri_gat.shape, jnp.float32),
+        tuple(jnp.zeros((), jnp.float32) for _ in range(L * 15)),
         zeros, zeros, zeros, zeros, zeros, zeros,
     )
     if fold_residuals:
@@ -586,7 +739,7 @@ def _nee_bwd_kernel(
             carry = one_sample(s, carry)
     else:
         carry = jax.lax.fori_loop(0, spp, one_sample, carry0)
-    (_, _, _, _, d_gat, d_plane, d_light,
+    (_, _, _, _, d_gat, d_plane, d_tri, d_light,
      adox, adoy, adoz, addx, addy, addz) = carry
 
     dox_ref[:, :] = adox
@@ -601,34 +754,42 @@ def _nee_bwd_kernel(
     @pl.when(pl.program_id(0) == 0)
     def _():
         dgat_ref[:, :] = jnp.zeros(gatT.shape, jnp.float32)
+        dtri_ref[:, :] = jnp.zeros(tri_gat.shape, jnp.float32)
         # max(., 1): M == 0 / L == 0 use a dummy [1, .] table whose
         # cotangent row must still be defined (it is discarded upstream).
         for j in range(max(M, 1)):
             for k in range(12):
                 dplane_ref[j, k] = 0.0
         for j in range(max(L, 1)):
-            for k in range(8):
+            for k in range(15):
                 dlight_ref[j, k] = 0.0
 
     dgat_ref[:, :] = dgat_ref[:, :] + d_gat
+    dtri_ref[:, :] = dtri_ref[:, :] + d_tri
     for j in range(M):
         for k in range(12):
             dplane_ref[j, k] = dplane_ref[j, k] + d_plane[j * 12 + k]
     for j in range(L):
-        for k in range(8):
-            dlight_ref[j, k] = dlight_ref[j, k] + d_light[j * 8 + k]
+        for k in range(15):
+            dlight_ref[j, k] = dlight_ref[j, k] + d_light[j * 15 + k]
 
 
 def _nee_bwd_call(
-    gatT, plane_tab, light_tab, ray_o, ray_d, rng_state, g_rad,
-    *, spp, num_bounces, P, M, L, has_glossy, has_diel, block_r, unroll,
-    interpret, gr=None,
+    gatT, plane_tab, tri_tab, light_tab, ray_o, ray_d, rng_state, g_rad,
+    *, spp, num_bounces, P, M, T, L, has_glossy, has_diel, block_r,
+    unroll, interpret, gr=None,
 ):
     shape = rng_state.shape[:-1]
     n = int(np.prod(shape))
     geom = jnp.stack(
-        [gatT[4], gatT[5], gatT[6], gatT[9] * gatT[9]], axis=-1
+        [gatT[4, :P], gatT[5, :P], gatT[6, :P],
+         gatT[9, :P] * gatT[9, :P]], axis=-1
     )  # detached replay fold table — bit-equal to _nee_scene_tables'
+    # [16, T] winner-vertex gather table (rows v0/e1/e2 from tri_tab).
+    tri_gat = jnp.concatenate(
+        [tri_tab[:, :9].T,
+         jnp.zeros((7, tri_tab.shape[0]), jnp.float32)], axis=0
+    )
 
     blocks = -(-n // (8 * block_r))
     pad_n = blocks * 8 * block_r
@@ -669,7 +830,7 @@ def _nee_bwd_call(
 
     kernel = functools.partial(
         _nee_bwd_kernel,
-        spp=spp, num_bounces=num_bounces, P=P, M=M, L=L,
+        spp=spp, num_bounces=num_bounces, P=P, M=M, T=T, L=L,
         has_glossy=has_glossy, has_diel=has_diel, unroll=unroll,
         fold_residuals=gr is not None,
     )
@@ -680,18 +841,22 @@ def _nee_bwd_call(
             smem_spec(geom),
             table_spec(gatT),
             smem_spec(plane_tab),
+            smem_spec(tri_tab),
+            table_spec(tri_gat),
             smem_spec(light_tab),
         ]
         + [col_spec] * len(comp_ins),
         out_specs=[
             table_spec(gatT),
             smem_spec(plane_tab),
+            table_spec(tri_gat),
             smem_spec(light_tab),
         ]
         + [col_spec] * 6,
         out_shape=(
             [jax.ShapeDtypeStruct(gatT.shape, jnp.float32)]
             + [jax.ShapeDtypeStruct(plane_tab.shape, jnp.float32)]
+            + [jax.ShapeDtypeStruct(tri_gat.shape, jnp.float32)]
             + [jax.ShapeDtypeStruct(light_tab.shape, jnp.float32)]
             + [jax.ShapeDtypeStruct((8, cols), jnp.float32)] * 6
         ),
@@ -701,40 +866,51 @@ def _nee_bwd_call(
         ],
         compiler_params=cparams,
         interpret=interpret,
-    )(geom, gatT, plane_tab, light_tab, *comp_ins)
+    )(geom, gatT, plane_tab, tri_tab, tri_gat, light_tab, *comp_ins)
 
-    d_gat, d_plane, d_light = out[0], out[1], out[2]
-    flats = [a.reshape(-1)[:n] for a in out[3:9]]
+    d_gat, d_plane, d_tri_gat, d_light = out[0], out[1], out[2], out[3]
+    # tri_gat cotangents map linearly back onto tri_tab rows 0..8.
+    d_tri_tab = jnp.concatenate(
+        [d_tri_gat[:9].T,
+         jnp.zeros((tri_tab.shape[0], 1), jnp.float32)], axis=-1
+    )
+    flats = [a.reshape(-1)[:n] for a in out[4:10]]
     d_ray_o = jnp.stack(flats[0:3], axis=-1).reshape(ray_o.shape)
     d_ray_d = jnp.stack(flats[3:6], axis=-1).reshape(ray_d.shape)
-    return d_gat, d_plane, d_light, d_ray_o, d_ray_d
+    return d_gat, d_plane, d_tri_tab, d_light, d_ray_o, d_ray_d
 
 
 @functools.lru_cache(maxsize=64)
 def _make_nee_diff_fn(
-    spp, num_bounces, P, M, L, has_glossy, has_diel, block_r, bwd_block_r,
-    unroll, interpret,
+    spp, num_bounces, P, M, T, L, has_glossy, has_diel, block_r,
+    bwd_block_r, unroll, interpret,
 ):
     """Build (and cache) the custom-VJP fused NEE trace for one static
     config, at the table level."""
 
-    def _fwd_only(gatT, plane_tab, light_tab, ray_o, ray_d, rng_state):
-        geom = jnp.stack(
-            [gatT[4], gatT[5], gatT[6], gatT[9] * gatT[9]], axis=-1
+    def _geom(gatT):
+        return jnp.stack(
+            [gatT[4, :P], gatT[5, :P], gatT[6, :P],
+             gatT[9, :P] * gatT[9, :P]], axis=-1
         )
+
+    def _fwd_only(gatT, plane_tab, tri_tab, light_tab, ray_o, ray_d,
+                  rng_state):
         return _trace_nee_from_tables(
-            geom, gatT, plane_tab, light_tab, ray_o, ray_d, rng_state,
-            num_spheres=P, num_planes=M, num_lights=L,
+            _geom(gatT), gatT, plane_tab, tri_tab,
+            light_tab, ray_o, ray_d, rng_state,
+            num_spheres=P, num_planes=M, num_tris=T, num_lights=L,
             has_glossy=has_glossy, has_diel=has_diel,
             num_bounces=num_bounces, spp=spp, block_r=block_r,
             interpret=interpret,
         )
 
     @jax.custom_vjp
-    def f(gatT, plane_tab, light_tab, ray_o, ray_d, rng_state):
-        return _fwd_only(gatT, plane_tab, light_tab, ray_o, ray_d, rng_state)
+    def f(gatT, plane_tab, tri_tab, light_tab, ray_o, ray_d, rng_state):
+        return _fwd_only(gatT, plane_tab, tri_tab, light_tab, ray_o,
+                         ray_d, rng_state)
 
-    def fwd(gatT, plane_tab, light_tab, ray_o, ray_d, rng_state):
+    def fwd(gatT, plane_tab, tri_tab, light_tab, ray_o, ray_d, rng_state):
         if 2 * spp * num_bounces <= MAX_RESIDUAL_PLANES:
             # Gradient-mode forward additionally records each (sample,
             # bounce)'s fold outcome (winner index; occlusion+hit flags)
@@ -744,37 +920,39 @@ def _make_nee_diff_fn(
             # spp > 1 gradients no longer re-pay the primary fold and a
             # kernel launch per sample).  Radiance/rng are bit-equal to
             # the plain forward on raster-order layouts (tested).
-            geom = jnp.stack(
-                [gatT[4], gatT[5], gatT[6], gatT[9] * gatT[9]], axis=-1
-            )
             rad, rng_out, gr = _trace_nee_from_tables(
-                geom, gatT, plane_tab, light_tab, ray_o, ray_d,
-                rng_state,
-                num_spheres=P, num_planes=M, num_lights=L,
+                _geom(gatT), gatT, plane_tab, tri_tab,
+                light_tab, ray_o, ray_d, rng_state,
+                num_spheres=P, num_planes=M, num_tris=T, num_lights=L,
                 has_glossy=has_glossy, has_diel=has_diel,
                 num_bounces=num_bounces, spp=spp, block_r=block_r,
                 interpret=interpret, grad_residuals=True,
             )
             return (rad, rng_out), (
-                gatT, plane_tab, light_tab, ray_o, ray_d, rng_state, gr
+                gatT, plane_tab, tri_tab, light_tab, ray_o, ray_d,
+                rng_state, gr
             )
-        out = _fwd_only(gatT, plane_tab, light_tab, ray_o, ray_d, rng_state)
+        out = _fwd_only(gatT, plane_tab, tri_tab, light_tab, ray_o,
+                        ray_d, rng_state)
         return out, (
-            gatT, plane_tab, light_tab, ray_o, ray_d, rng_state, None
+            gatT, plane_tab, tri_tab, light_tab, ray_o, ray_d,
+            rng_state, None
         )
 
     def bwd(res, cts):
-        gatT, plane_tab, light_tab, ray_o, ray_d, rng_state, gr = res
+        (gatT, plane_tab, tri_tab, light_tab, ray_o, ray_d, rng_state,
+         gr) = res
         g_rad, _g_rng = cts  # rng_out is u32: float0 cotangent, unused
-        d_gat, d_pl, d_li, d_ray_o, d_ray_d = _nee_bwd_call(
-            gatT, plane_tab, light_tab, ray_o, ray_d, rng_state, g_rad,
-            spp=spp, num_bounces=num_bounces, P=P, M=M, L=L,
+        d_gat, d_pl, d_tri, d_li, d_ray_o, d_ray_d = _nee_bwd_call(
+            gatT, plane_tab, tri_tab, light_tab, ray_o, ray_d,
+            rng_state, g_rad,
+            spp=spp, num_bounces=num_bounces, P=P, M=M, T=T, L=L,
             has_glossy=has_glossy, has_diel=has_diel,
             block_r=bwd_block_r, unroll=unroll, interpret=interpret,
             gr=gr,
         )
         d_rng = np.zeros(rng_state.shape, jax.dtypes.float0)
-        return d_gat, d_pl, d_li, d_ray_o, d_ray_d, d_rng
+        return d_gat, d_pl, d_tri, d_li, d_ray_o, d_ray_d, d_rng
 
     f.defvjp(fwd, bwd)
     return f
@@ -794,8 +972,10 @@ def trace_physical_nee_pallas_diff(
     interpret: bool = False,
 ):
     """Differentiable fused NEE trace: (radiance_sum [H, W, 3], rng_out
-    [H, W, 4]) with gradients w.r.t. every continuous sphere/plane leaf
-    and the primary rays.  Forward = the production fused megakernel
+    [H, W, 4]) with gradients w.r.t. every continuous sphere/plane/
+    triangle leaf (round 5: triangle vertices through the [16, T]
+    winner-vertex gather and the area-light sampling term) and the
+    primary rays.  Forward = the production fused megakernel
     (presort + regeneration included); backward = the in-VMEM replay +
     reverse sweep (`_nee_bwd_kernel`).  The RNG state is a detached
     constant of the gradient, exactly as in diff/grad.py."""
@@ -813,12 +993,16 @@ def trace_physical_nee_pallas_diff(
     has_glossy = kinds is None or BRDF_GLOSSY in kinds
     has_diel = kinds is None or BRDF_DIELECTRIC in kinds
 
-    _, gatT, plane_tab, light_tab = _nee_scene_tables(scene, light_idx)
+    assert scene.boxes.count == 0, "boxes take diff/grad.py's XLA path"
+    _, gatT, plane_tab, tri_tab, light_tab = _nee_scene_tables(
+        scene, light_idx
+    )
     f = _make_nee_diff_fn(
         spp, num_bounces, scene.spheres.count, scene.planes.count,
-        len(light_idx), has_glossy, has_diel, block_r, bwd_block_r,
-        unroll, interpret,
+        scene.triangles.count, len(light_idx), has_glossy, has_diel,
+        block_r, bwd_block_r, unroll, interpret,
     )
     return f(
-        gatT, plane_tab, light_tab, rays.origin, rays.direction, rng_state
+        gatT, plane_tab, tri_tab, light_tab, rays.origin, rays.direction,
+        rng_state,
     )

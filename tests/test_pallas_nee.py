@@ -22,6 +22,7 @@ from haskell_path_tracer_tpu.models.objects import (
     make_materials,
     make_planes,
     make_spheres,
+    make_triangles,
 )
 from haskell_path_tracer_tpu.models.camera import primary_rays
 from haskell_path_tracer_tpu.ops.pallas_nee import (
@@ -267,6 +268,71 @@ def test_presort_bit_identical():
                                   np.asarray(outs[1][1]))
 
 
+def tri_scene():
+    """Spheres + plane + triangles with BOTH a sphere emitter and a
+    triangle area light (the estimator's flagship feature) plus a matte
+    blocker triangle that casts shadows."""
+    s = make_spheres(
+        [[0.0, -1.0, -6.0], [-2.5, 0.0, -7.0], [2.3, -0.5, -5.5]],
+        [1.6, 1.2, 1.0],
+        make_materials([
+            ([0.8, 0.4, 0.3], 0.0, BRDF_MATTE, 1.0),
+            ([0.9, 0.9, 0.9], 0.0, BRDF_GLOSSY, 1.0),
+            ([0.3, 0.8, 0.5], 6.0, BRDF_MATTE, 1.0),
+        ]),
+    )
+    p = make_planes(
+        [[0.0, -3.0, 0.0]], [[0.0, 1.0, 0.0]],
+        make_materials([([0.6, 0.6, 0.55], 0.0, BRDF_MATTE, 1.0)]),
+    )
+    tr = make_triangles(
+        [[-2.0, 5.0, -7.5], [-1.0, 0.5, -4.0]],
+        [[2.0, 5.0, -7.5], [1.0, 0.5, -4.0]],
+        [[0.0, 5.0, -4.5], [0.0, 2.0, -5.0]],
+        make_materials([
+            ([1.0, 0.95, 0.8], 20.0, BRDF_MATTE, 1.0),
+            ([0.4, 0.5, 0.9], 0.0, BRDF_MATTE, 1.0),
+        ]),
+    )
+    return Scene(spheres=s, planes=p, triangles=tr)
+
+
+def test_triangle_emitter_scene_matches():
+    """Round-5 kernel extension: triangle geometry in the fold (MT
+    stream) and triangle-area light sampling — lane-exact vs the XLA
+    estimator with bit-equal RNG, including the mixed sphere+triangle
+    light table (mask-space light_idx)."""
+    scene = tri_scene()
+    assert scene_light_indices(scene) == (2, 3)  # sphere 2, tri 0
+    rad_ref, rng_ref, rad_k, rng_k = run_pair(
+        scene, hpt.initial_camera(), bounces=3, spp=2
+    )
+    assert np.abs(rad_ref).max() > 0
+    np.testing.assert_array_equal(rng_ref, rng_k)
+    assert_lane_parity(rng_ref, rng_k, rad_ref, rad_k)
+
+
+def test_triangle_scene_disciplines_bit_identical():
+    """Regeneration and presort are pure execution-order/layout changes
+    on triangle scenes too."""
+    scene = tri_scene()
+    rng = gen_seeds((H, W), seed=7)
+    rays = primary_rays(hpt.initial_camera(), W, H)
+    base = trace_physical_nee_pallas(
+        scene, rays, rng, num_bounces=3, spp=2, interpret=True,
+        regenerate=False, presort=False,
+    )
+    for kw in ({"regenerate": True}, {"presort": True},
+               {"regenerate": True, "presort": True}):
+        out = trace_physical_nee_pallas(
+            scene, rays, rng, num_bounces=3, spp=2, interpret=True, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(base[0]),
+                                      np.asarray(out[0]), err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(base[1]),
+                                      np.asarray(out[1]), err_msg=str(kw))
+
+
 def test_light_indices_static_passing():
     """Traced scenes work when light_idx is supplied from outside jit
     (the suite/Renderer pattern)."""
@@ -304,6 +370,7 @@ def _f32s(lo, hi):
 def _nee_scenes(draw):
     n_s = draw(st.integers(2, 6))
     n_p = draw(st.integers(0, 2))
+    n_t = draw(st.integers(0, 3))
     mats = []
     pos, rad = [], []
     for i in range(n_s):
@@ -335,6 +402,26 @@ def _nee_scenes(draw):
 
         p = make_planes(np.zeros((0, 3)), np.zeros((0, 3)),
                         empty_materials())
+    if n_t:
+        v0, v1, v2, tm = [], [], [], []
+        for i in range(n_t):
+            base = [draw(_f32s(-5, 5)), draw(_f32s(-2, 5)),
+                    draw(_f32s(-9, -3))]
+            v0.append(base)
+            v1.append([base[0] + draw(_f32s(0.5, 3)), base[1],
+                       base[2] + draw(_f32s(-1, 1))])
+            v2.append([base[0] + draw(_f32s(-1, 1)),
+                       base[1] + draw(_f32s(0.5, 3)), base[2]])
+            tm.append((
+                [draw(_f32s(0.2, 1.0)) for _ in range(3)],
+                draw(st.sampled_from([0.0, 0.0, 15.0])),
+                BRDF_MATTE,
+                1.0,
+            ))
+        from haskell_path_tracer_tpu.models.objects import Triangles
+
+        tr = make_triangles(v0, v1, v2, make_materials(tm))
+        return Scene(spheres=s, planes=p, triangles=tr)
     return Scene(spheres=s, planes=p)
 
 

@@ -355,3 +355,26 @@ def test_nee_vjp_fold_replay_fallback_grads_match_xla(monkeypatch):
         _assert_grads_match(_mixed_scene())
     finally:
         V._make_nee_diff_fn.cache_clear()
+
+
+def test_nee_vjp_triangle_scene_all_grads_match_xla():
+    """Round-5 triangle extension of the VJP: forward bit-equal to the
+    production kernel on a triangle-emitter scene, and every continuous
+    leaf — INCLUDING tri vertices (via the [16, T] winner-vertex gather
+    and the area-light sampling term) — matches XLA autodiff."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_pallas_nee import tri_scene
+
+    scene = tri_scene()
+    _, rays, rng, _ = _setup(scene)
+    rad0, rng0 = trace_physical_nee_pallas(
+        scene, rays, rng, num_bounces=B, spp=SPP, interpret=True
+    )
+    rad1, rng1 = trace_physical_nee_pallas_diff(
+        scene, rays, rng, num_bounces=B, spp=SPP, interpret=True
+    )
+    assert jnp.array_equal(rad0, rad1)
+    assert jnp.array_equal(rng0, rng1)
+    _assert_grads_match(scene, min_nonzero=12)
