@@ -985,6 +985,57 @@ def _nee_kernel(
     orctr_ref[:, :] = rctr
 
 
+def primary_probe(
+    geom, plane_tab, tri_tab, ray_o, ray_d,
+    *, num_spheres, num_planes, num_tris, block_r=DEFAULT_BLOCK_R,
+    unroll=32, interpret=False,
+):
+    """Camera-ray nearest hit (t0, prim0) as flat [n] arrays — the
+    presort probe exposed standalone (round 5: the sorted gradient frame
+    computes its lane permutation OUTSIDE the custom-VJP boundary).
+    Identical fold/merge formulas to the bounce kernels."""
+    shape = ray_o.shape[:-1]
+    n = int(np.prod(shape))
+    blocks = -(-n // (8 * block_r))
+    pad_n = blocks * 8 * block_r
+    pad = pad_n - n
+    cols = pad_n // 8
+
+    def plane2d(f):
+        f = jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
+        return f.reshape(8, cols)
+
+    flat = (
+        [ray_o.reshape(-1, 3)[:, i] for i in range(3)]
+        + [ray_d.reshape(-1, 3)[:, i] for i in range(3)]
+    )
+    smem_spec = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    col_spec = pl.BlockSpec(
+        (8, block_r), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    t0f, p0f = pl.pallas_call(
+        functools.partial(
+            _primary_kernel, num_spheres=num_spheres,
+            num_planes=num_planes, num_tris=num_tris, unroll=unroll,
+        ),
+        grid=(blocks,),
+        in_specs=[smem_spec(geom), smem_spec(plane_tab),
+                  smem_spec(tri_tab)] + [col_spec] * 6,
+        out_specs=[col_spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, cols), jnp.float32),
+            jax.ShapeDtypeStruct((8, cols), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(geom, plane_tab, tri_tab, *[plane2d(f) for f in flat])
+    return t0f.reshape(-1)[:n], p0f.reshape(-1)[:n]
+
+
 def scene_light_indices(scene: Scene):
     """STATIC (host-side) NEE-emitter index tuple in `sample_light`'s
     mask space (spheres ++ triangles: idx < n_spheres names a sphere,

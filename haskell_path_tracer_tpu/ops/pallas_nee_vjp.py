@@ -970,6 +970,7 @@ def trace_physical_nee_pallas_diff(
     bwd_block_r: int = 256,  # 256 vs 128 measured 25.5 vs 26.2 ms/step
     unroll: int = 32,
     interpret: bool = False,
+    sorted_lanes: bool | None = None,
 ):
     """Differentiable fused NEE trace: (radiance_sum [H, W, 3], rng_out
     [H, W, 4]) with gradients w.r.t. every continuous sphere/plane/
@@ -994,15 +995,84 @@ def trace_physical_nee_pallas_diff(
     has_diel = kinds is None or BRDF_DIELECTRIC in kinds
 
     assert scene.boxes.count == 0, "boxes take diff/grad.py's XLA path"
-    _, gatT, plane_tab, tri_tab, light_tab = _nee_scene_tables(
+    geom, gatT, plane_tab, tri_tab, light_tab = _nee_scene_tables(
         scene, light_idx
     )
+    P = scene.spheres.count
+    shape = rng_state.shape[:-1]
+    n = int(np.prod(shape))
+    if sorted_lanes is None:
+        # The sorted gradient frame pays a probe + argsort + 4 gathers
+        # per step to make sky-dead lanes block-contiguous, so BOTH
+        # kernels' whole-block dead skips fire (fwd legacy discipline +
+        # bwd replay/reverse).  Worth it where the fold dominates and
+        # the fixed permute cost amortizes over lane-samples: measured
+        # at 1080p/spp 8/1k spheres 93.5 -> 114.5 Mrays/s (+22%), but a
+        # NET LOSS at 512x512/spp 1 (76 -> 52: ~60 ms of permutes on a
+        # 28 ms step), hence the lane-sample gate.
+        sorted_lanes = P >= 64 and n * spp >= (1 << 22)
     f = _make_nee_diff_fn(
-        spp, num_bounces, scene.spheres.count, scene.planes.count,
+        spp, num_bounces, P, scene.planes.count,
         scene.triangles.count, len(light_idx), has_glossy, has_diel,
         block_r, bwd_block_r, unroll, interpret,
     )
-    return f(
-        gatT, plane_tab, tri_tab, light_tab, rays.origin, rays.direction,
-        rng_state,
+    if not sorted_lanes:
+        return f(
+            gatT, plane_tab, tri_tab, light_tab, rays.origin,
+            rays.direction, rng_state,
+        )
+
+    # ---- sorted gradient frame (round 5) ------------------------------
+    # The permutation lives entirely OUTSIDE the custom-VJP boundary:
+    # rays/rng are depth-sorted into the kernel's block-contiguous
+    # layout with differentiable gathers (cotangents route back through
+    # their transposes automatically), f runs UNCHANGED on (pad_n,)
+    # arrays whose residuals stay sorted end-to-end, and only the
+    # rad/rng outputs are unsorted.  Per-pixel results are bit-identical
+    # to the unsorted call (block layout is semantically inert; tested).
+    from .pallas_nee import primary_probe
+
+    blocks = -(-n // (8 * bwd_block_r))
+    pad_n = blocks * 8 * bwd_block_r
+    cols = pad_n // 8
+    R = bwd_block_r
+    t0f, _ = primary_probe(
+        jax.lax.stop_gradient(geom), jax.lax.stop_gradient(plane_tab),
+        jax.lax.stop_gradient(tri_tab),
+        jax.lax.stop_gradient(rays.origin),
+        jax.lax.stop_gradient(rays.direction),
+        num_spheres=P, num_planes=scene.planes.count,
+        num_tris=scene.triangles.count, block_r=bwd_block_r,
+        unroll=unroll, interpret=interpret,
     )
+    g = jnp.argsort(t0f).astype(jnp.int32)  # ascending depth, sky last
+    # rank(slot): the flat index the kernel's [8, cols] blocking reads
+    # at a given rank's block-contiguous position (pallas_nee's presort
+    # mapping).
+    iota_s = jnp.arange(pad_n, dtype=jnp.int32)
+    s_, c_ = iota_s // cols, iota_s % cols
+    rank = (c_ // R) * (8 * R) + s_ * R + (c_ % R)
+    valid = rank < n
+    src = jnp.where(valid, g[jnp.minimum(rank, n - 1)], 0)
+    vf = valid[:, None]
+
+    ray6 = jnp.concatenate(
+        [rays.origin.reshape(-1, 3), rays.direction.reshape(-1, 3)],
+        axis=-1,
+    )[src]  # differentiable row gather; transpose = scatter of d_rays
+    ray6 = jnp.where(vf, ray6, 0.0)  # pad lanes: dir 0 -> dead
+    rng_s = jnp.where(vf, rng_state.reshape(-1, 4)[src], 0)
+
+    rad_s, rng_out_s = f(
+        gatT, plane_tab, tri_tab, light_tab,
+        ray6[:, 0:3], ray6[:, 3:6], rng_s,
+    )
+    # Unsort: lane i's result sits at the slot of its rank pos[i].
+    pos = jnp.zeros((n,), jnp.int32).at[g].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    j = pos
+    inv = ((j % (8 * R)) // R) * cols + (j // (8 * R)) * R + (j % R)
+    rad = rad_s[inv].reshape(*shape, 3)
+    rng_out = rng_out_s[inv].reshape(*shape, 4)
+    return rad, rng_out

@@ -378,3 +378,55 @@ def test_nee_vjp_triangle_scene_all_grads_match_xla():
     assert jnp.array_equal(rad0, rad1)
     assert jnp.array_equal(rng0, rng1)
     _assert_grads_match(scene, min_nonzero=12)
+
+
+def test_nee_vjp_sorted_gradient_frame_bit_identical():
+    """The round-5 sorted gradient frame (external depth-sort of lanes
+    into the kernels' block-contiguous layout, residuals sorted
+    end-to-end) is a pure layout change: forward radiance/rng and the
+    loss are BIT-identical to the unsorted call; gradients agree to
+    summation-order ulps (re-blocking changes the backward's partial-sum
+    accumulation order only)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_pallas_nee import big
+
+    scene = big()  # 120 spheres: plenty of sky-dead lanes to sort
+    cam = Camera.create([0.0, 2.0, 0.0], [0.2, 0.0, 0.0], 90.0)
+    rays = primary_rays(cam, W, H)
+    rng = gen_seeds((H, W), seed=5)
+    wmat = jnp.arange(H * W * 3.0).reshape(H, W, 3) / (H * W * 3)
+    li = scene_light_indices(scene)
+    params = G.scene_to_params(scene)
+
+    outs = [
+        trace_physical_nee_pallas_diff(
+            scene, rays, rng, num_bounces=B, spp=SPP, interpret=True,
+            sorted_lanes=sl,
+        )
+        for sl in (False, True)
+    ]
+    assert jnp.array_equal(outs[0][0], outs[1][0])
+    assert jnp.array_equal(outs[0][1], outs[1][1])
+
+    def loss(p, sl):
+        s = G.params_to_scene(p, scene)
+        rad, _ = trace_physical_nee_pallas_diff(
+            s, rays, rng, num_bounces=B, spp=SPP, light_idx=li,
+            interpret=True, sorted_lanes=sl,
+        )
+        return jnp.sum(rad * wmat)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert float(v0) == float(v1)
+    for field in G.SceneParams._fields:
+        a = np.asarray(getattr(g0, field), np.float64)
+        b = np.asarray(getattr(g1, field), np.float64)
+        if a.size == 0:
+            continue
+        denom = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 1e-4, (
+            field, np.abs(a - b).max()
+        )
