@@ -318,6 +318,52 @@ def _mt_row(tvx, tvy, tvz, e1x, e1y, e1z, e2x, e2y, e2z, en,
     return jnp.where(miss, INFINITE, tt)
 
 
+def _merge_boxes_ref(
+    box_ref, num_boxes, base, t, prim, ox, oy, oz, dx, dy, dz,
+    reject_below, bx=None, by=None, bz=None, t_l=None, occ=None,
+):
+    """Fold axis-aligned boxes into the running best (strict <,
+    ascending global index `base + k` — checkHit's spheres < planes <
+    boxes < triangles order) in `ops/intersect.py:box_distances`' exact
+    f32 branchless-slab op order; with shadow args also any-hit
+    occlusion in [EPSILON, t_l) along (bx, by, bz) — boxes are BSDF-only
+    emitters so no light exclusion is needed."""
+    tiny = jnp.float32(1e-12)
+
+    def slab(lo, hi, o, d):
+        d_safe = jnp.where(
+            jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d
+        )
+        inv = 1.0 / d_safe
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    for k in range(num_boxes):
+        r = [box_ref[k, i] for i in range(6)]
+        (lx, ly, lz, hx_, hy_, hz_) = r
+
+        def box_t(ddx, ddy, ddz, rej):
+            n1, f1 = slab(lx, hx_, ox, ddx)
+            n2, f2 = slab(ly, hy_, oy, ddy)
+            n3, f3 = slab(lz, hz_, oz, ddz)
+            t_near = jnp.maximum(jnp.maximum(n1, n2), n3)
+            t_far = jnp.minimum(jnp.minimum(f1, f2), f3)
+            miss = (
+                (t_near > t_far) | (t_near <= 0.0) | (t_near < rej)
+            )
+            return jnp.where(miss, INFINITE, t_near)
+
+        bd = box_t(dx, dy, dz, reject_below)
+        better = bd < t
+        t = jnp.where(better, bd, t)
+        prim = jnp.where(better, base + k, prim)
+        if bx is not None:
+            sd = box_t(bx, by, bz, EPSILON)
+            occ = occ | (sd < t_l).astype(jnp.int32)
+    return t, prim, occ
+
+
 def _merge_tris_ref(
     tri_ref, num_tris, base, t, prim, ox, oy, oz, dx, dy, dz,
     reject_below, bx=None, by=None, bz=None, t_l=None, lgi=None, occ=None,
@@ -347,10 +393,10 @@ def _merge_tris_ref(
 
 
 def _primary_kernel(
-    geom_ref, plane_ref, tri_ref,
+    geom_ref, plane_ref, tri_ref, box_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     t_ref, prim_ref,
-    *, num_spheres, num_planes, num_tris, unroll,
+    *, num_spheres, num_planes, num_tris, num_boxes, unroll,
 ):
     """Camera-ray nearest hit only (eps = 0 acceptance): the presort
     probe.  Runs the identical fold/merge formulas as the bounce loop,
@@ -365,9 +411,16 @@ def _primary_kernel(
         ox_ref[:, :], oy_ref[:, :], oz_ref[:, :],
         dx_ref[:, :], dy_ref[:, :], dz_ref[:, :], 0.0,
     )
+    if num_boxes:
+        t, prim, _ = _merge_boxes_ref(
+            box_ref, num_boxes, num_spheres + num_planes, t, prim,
+            ox_ref[:, :], oy_ref[:, :], oz_ref[:, :],
+            dx_ref[:, :], dy_ref[:, :], dz_ref[:, :], 0.0,
+        )
     if num_tris:
         t, prim, _ = _merge_tris_ref(
-            tri_ref, num_tris, num_spheres + num_planes, t, prim,
+            tri_ref, num_tris, num_spheres + num_planes + num_boxes,
+            t, prim,
             ox_ref[:, :], oy_ref[:, :], oz_ref[:, :],
             dx_ref[:, :], dy_ref[:, :], dz_ref[:, :], 0.0,
         )
@@ -377,15 +430,17 @@ def _primary_kernel(
 
 def _nee_kernel(
     geom_ref,    # SMEM [P, 4] f32: cx, cy, cz, r2
-    gat_ref,     # VMEM [16, P+T] f32: cr cg cb il aux(3) param kind rad 0..
+    gat_ref,     # VMEM [16, P+T+B] f32: cr cg cb il aux(3) param kind
+                 # rad | box-hi rows 10-12
     plane_ref,   # SMEM [M?, 12] f32: px py pz nx ny nz cr cg cb il param kind
     tri_ref,     # SMEM [T?, 10] f32: v0(3) e1(3) e2(3) en
+    box_ref,     # SMEM [B?, 6] f32: lo(3) hi(3)
     light_ref,   # SMEM [L?, 15] f32: kind gidx er eg eb c|v0(3) rad e1(3) e2(3)
     *refs,
     # refs: ox oy oz dx dy dz ra rb rc rctr [t0 p0] | rad_r rad_g rad_b
     #       ora orb orc orctr
-    spp, num_bounces, num_spheres, num_planes, num_tris, num_lights,
-    has_glossy, has_diel, block_skip=True, unroll=8,
+    spp, num_bounces, num_spheres, num_planes, num_tris, num_boxes,
+    num_lights, has_glossy, has_diel, block_skip=True, unroll=8,
     primary_inputs=False, regenerate=True, telemetry=False,
     grad_residuals=False,
 ):
@@ -432,12 +487,13 @@ def _nee_kernel(
     P = num_spheres
     M = num_planes
     T = num_tris
+    Bx = num_boxes
     R = ox_ref.shape[1]
     pox, poy, poz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
     pdx, pdy, pdz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
 
-    gatT = gat_ref[:, :]  # [16, P+T]
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P + T, R), 0)
+    gatT = gat_ref[:, :]  # [16, P+T+B]
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (P + T + Bx, R), 0)
 
     def per_group(fn, *args, n_out=1):
         """Run `fn` on each [1, R] sublane row of the [8, R] args and
@@ -471,12 +527,21 @@ def _nee_kernel(
         bit-for-bit (the round-4 grazing-band recompute was removed with
         that fix)."""
         hit = t < INFINITE
-        # Gather-column space: spheres 0..P-1, triangles P..P+T-1.
-        # Global prims: spheres [0,P), planes [P,P+M), tris [P+M,P+M+T);
-        # plane winners map onto columns that may alias tri columns, but
-        # every gathered field a plane lane uses is overwritten by the
-        # SMEM selects below.
-        gcol = jnp.where(prim >= P + M, prim - M, prim) if T else prim
+        # Gather-column space: spheres 0..P-1, triangles P..P+T-1, boxes
+        # P+T..P+T+B-1.  Global prims: spheres [0,P), planes [P,P+M),
+        # boxes [P+M,P+M+B), tris [P+M+B,..); plane winners map onto
+        # columns that may alias tri/box columns, but every gathered
+        # field a plane lane uses is overwritten by the SMEM selects
+        # below.
+        gcol = prim
+        if Bx:
+            gcol = jnp.where(
+                (prim >= P + M) & (prim < P + M + Bx),
+                prim - M + T, gcol,
+            )
+        if T:
+            gcol = jnp.where(prim >= P + M + Bx, prim - M - Bx, gcol)
+        n_rows = 12 if Bx else 9
 
         def gather_g(gcol_, hit_):
             onehot = ((iota_p == gcol_) & hit_).astype(jnp.float32)
@@ -485,12 +550,17 @@ def _nee_kernel(
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )  # [16, R]
-            return tuple(g[v : v + 1] for v in range(9))
+            rows = [g[v : v + 1] for v in range(9)]
+            if Bx:
+                rows += [g[v : v + 1] for v in (10, 11, 12)]
+            return tuple(rows)
 
-        (cr, cg, cb, il, ax, ay, az, param, kind) = per_group(
-            gather_g, gcol, hit, n_out=9
+        outs = per_group(gather_g, gcol, hit, n_out=n_rows)
+        (cr, cg, cb, il, ax, ay, az, param, kind) = outs[:9]
+        hi3 = outs[9:12] if Bx else None
+        is_plane = (
+            (prim >= P) & (prim < P + M) if (T or Bx) else prim >= P
         )
-        is_plane = (prim >= P) & (prim < P + M) if T else prim >= P
         for j in range(num_planes):
             m = prim == P + j
             cr = jnp.where(m, plane_ref[j, 6], cr)
@@ -502,7 +572,8 @@ def _nee_kernel(
             ax = jnp.where(m, plane_ref[j, 3], ax)
             ay = jnp.where(m, plane_ref[j, 4], ay)
             az = jnp.where(m, plane_ref[j, 5], az)
-        return t, hit, is_plane, cr, cg, cb, il, param, kind, ax, ay, az
+        return (t, hit, is_plane, cr, cg, cb, il, param, kind,
+                ax, ay, az, hi3)
 
     # Primary hit from the camera: eps = 0 acceptance (nearest_hit).
     # Hoisted OUT of the spp loop — primary rays carry no per-sample
@@ -520,9 +591,14 @@ def _nee_kernel(
         t0, prim0 = merge_planes(
             t0, prim0, pox, poy, poz, pdx, pdy, pdz, 0.0
         )
+        if Bx:
+            t0, prim0, _ = _merge_boxes_ref(
+                box_ref, Bx, P + M, t0, prim0,
+                pox, poy, poz, pdx, pdy, pdz, 0.0,
+            )
         if T:
             t0, prim0, _ = _merge_tris_ref(
-                tri_ref, T, P + M, t0, prim0,
+                tri_ref, T, P + M + Bx, t0, prim0,
                 pox, poy, poz, pdx, pdy, pdz, 0.0,
             )
 
@@ -540,7 +616,7 @@ def _nee_kernel(
         # Payload gather runs inside the alive-skip: fully dead
         # blocks pay neither the one-hot contraction nor glue.
         (t, _, is_plane, cr, cg, cb, il, param, kind,
-         ax, ay, az) = payload(t, prim, ox, oy, oz, dx, dy, dz)
+         ax, ay, az, hi3) = payload(t, prim, ox, oy, oz, dx, dy, dz)
 
         # Hit point + normal (sphere: normalize(point - center);
         # plane/triangle: stored unit normal in aux) —
@@ -552,16 +628,43 @@ def _nee_kernel(
         # Divide (not reciprocal-multiply): normalize_safe's exact op
         # sequence — a 1-ulp normal difference propagates into every
         # downstream accept/reject comparison of the XLA twin.
-        use_aux = (is_plane | (prim >= P + M)) if T else is_plane
+        is_box = (
+            (prim >= P + M) & (prim < P + M + Bx)
+            if Bx else jnp.zeros_like(hit)
+        )
+        is_tri_w = (prim >= P + M + Bx) if T else jnp.zeros_like(hit)
+        use_aux = is_plane | is_tri_w if (T or Bx) else is_plane
         sx, sy, sz = hx - ax, hy - ay, hz - az
         sq = _dot3(sx, sy, sz, sx, sy, sz)
         nrm = jnp.maximum(jnp.sqrt(sq), 1e-20)
         nx = jnp.where(use_aux, ax, sx / nrm)
         ny = jnp.where(use_aux, ay, sy / nrm)
         nz = jnp.where(use_aux, az, sz / nrm)
+        if Bx:
+            # ops/intersect.py:box_normal — dominant axis of the
+            # centered, half-size-normalized hit offset; aux = lo,
+            # rows 10-12 = hi.  argmax picks the FIRST maximum.
+            hix, hiy, hiz = hi3
+            ccx = (ax + hix) * 0.5
+            ccy = (ay + hiy) * 0.5
+            ccz = (az + hiz) * 0.5
+            hfx = jnp.maximum((hix - ax) * 0.5, 1e-12)
+            hfy = jnp.maximum((hiy - ay) * 0.5, 1e-12)
+            hfz = jnp.maximum((hiz - az) * 0.5, 1e-12)
+            qx = (hx - ccx) / hfx
+            qy = (hy - ccy) / hfy
+            qz = (hz - ccz) / hfz
+            aqx, aqy, aqz = jnp.abs(qx), jnp.abs(qy), jnp.abs(qz)
+            a0 = (aqx >= aqy) & (aqx >= aqz)
+            a1 = ~a0 & (aqy >= aqz)
+            a2 = ~a0 & ~a1
+            nx = jnp.where(is_box, jnp.where(a0, jnp.sign(qx), 0.0), nx)
+            ny = jnp.where(is_box, jnp.where(a1, jnp.sign(qy), 0.0), ny)
+            nz = jnp.where(is_box, jnp.where(a2, jnp.sign(qz), 0.0), nz)
 
-        # Emission pickup (NEE rule: specular chains + planes).
-        take = (prev_spec != 0) | is_plane
+        # Emission pickup (NEE rule: specular chains + BSDF-only
+        # emitters = planes AND boxes; render/nee.py:is_bsdf_only).
+        take = (prev_spec != 0) | is_plane | is_box
         emit = jnp.where(take, il, 0.0)
         nres_r = res_r + emit * cr * th_r
         nres_g = res_g + emit * cg * th_g
@@ -753,16 +856,28 @@ def _nee_kernel(
         t2, prim2 = merge_planes(
             t2, prim2, hx, hy, hz, ndx, ndy, ndz, EPSILON
         )
+        if Bx:
+            if num_lights:
+                t2, prim2, occ = _merge_boxes_ref(
+                    box_ref, Bx, P + M, t2, prim2,
+                    hx, hy, hz, ndx, ndy, ndz, EPSILON,
+                    bx, by, bz, t_l, occ,
+                )
+            else:
+                t2, prim2, _ = _merge_boxes_ref(
+                    box_ref, Bx, P + M, t2, prim2,
+                    hx, hy, hz, ndx, ndy, ndz, EPSILON,
+                )
         if T:
             if num_lights:
                 t2, prim2, occ = _merge_tris_ref(
-                    tri_ref, T, P + M, t2, prim2,
+                    tri_ref, T, P + M + Bx, t2, prim2,
                     hx, hy, hz, ndx, ndy, ndz, EPSILON,
                     bx, by, bz, t_l, lgi, occ,
                 )
             else:
                 t2, prim2, _ = _merge_tris_ref(
-                    tri_ref, T, P + M, t2, prim2,
+                    tri_ref, T, P + M + Bx, t2, prim2,
                     hx, hy, hz, ndx, ndy, ndz, EPSILON,
                 )
         if num_lights:
@@ -986,9 +1101,9 @@ def _nee_kernel(
 
 
 def primary_probe(
-    geom, plane_tab, tri_tab, ray_o, ray_d,
-    *, num_spheres, num_planes, num_tris, block_r=DEFAULT_BLOCK_R,
-    unroll=32, interpret=False,
+    geom, plane_tab, tri_tab, box_tab, ray_o, ray_d,
+    *, num_spheres, num_planes, num_tris, num_boxes,
+    block_r=DEFAULT_BLOCK_R, unroll=32, interpret=False,
 ):
     """Camera-ray nearest hit (t0, prim0) as flat [n] arrays — the
     presort probe exposed standalone (round 5: the sorted gradient frame
@@ -1018,11 +1133,13 @@ def primary_probe(
     t0f, p0f = pl.pallas_call(
         functools.partial(
             _primary_kernel, num_spheres=num_spheres,
-            num_planes=num_planes, num_tris=num_tris, unroll=unroll,
+            num_planes=num_planes, num_tris=num_tris,
+            num_boxes=num_boxes, unroll=unroll,
         ),
         grid=(blocks,),
         in_specs=[smem_spec(geom), smem_spec(plane_tab),
-                  smem_spec(tri_tab)] + [col_spec] * 6,
+                  smem_spec(tri_tab), smem_spec(box_tab)]
+        + [col_spec] * 6,
         out_specs=[col_spec] * 2,
         out_shape=[
             jax.ShapeDtypeStruct((8, cols), jnp.float32),
@@ -1032,7 +1149,7 @@ def primary_probe(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(geom, plane_tab, tri_tab, *[plane2d(f) for f in flat])
+    )(geom, plane_tab, tri_tab, box_tab, *[plane2d(f) for f in flat])
     return t0f.reshape(-1)[:n], p0f.reshape(-1)[:n]
 
 
@@ -1062,13 +1179,11 @@ def supported_backend(backend: str | None = None) -> bool:
 
 
 def nee_pallas_eligible(scene: Scene, backend: str | None = None) -> bool:
-    """The fused NEE megakernel covers sphere+plane+triangle scenes with
-    a static (concrete) material/light description, on TPU (round 5
-    added triangles — geometry in the fold, area lights in the NEE half;
-    boxes remain the XLA fallback's)."""
+    """The fused NEE megakernel covers all four primitive kinds on TPU
+    (round 5: triangles — MT fold + area lights — and boxes — slab fold,
+    BSDF-only emitters) with a static (concrete) material/light
+    description."""
     if (backend or jax.default_backend()) != "tpu":
-        return False
-    if scene.boxes.count:
         return False
     if scene.spheres.count == 0 or scene.spheres.count >= (1 << 24):
         return False
@@ -1136,15 +1251,16 @@ def trace_physical_nee_pallas(
     has_glossy = kinds is None or BRDF_GLOSSY in kinds
     has_diel = kinds is None or BRDF_DIELECTRIC in kinds
 
-    geom, gatT, plane_tab, tri_tab, light_tab = _nee_scene_tables(
-        scene, light_idx
+    geom, gatT, plane_tab, tri_tab, box_tab, light_tab = (
+        _nee_scene_tables(scene, light_idx)
     )
     return _trace_nee_from_tables(
-        geom, gatT, plane_tab, tri_tab, light_tab,
+        geom, gatT, plane_tab, tri_tab, box_tab, light_tab,
         rays.origin, rays.direction, rng_state,
         num_spheres=scene.spheres.count,
         num_planes=scene.planes.count,
         num_tris=scene.triangles.count,
+        num_boxes=scene.boxes.count,
         num_lights=len(light_idx),
         has_glossy=has_glossy,
         has_diel=has_diel,
@@ -1176,6 +1292,9 @@ def _nee_scene_tables(scene: Scene, light_idx):
                 (the Möller–Trumbore stream; e1/e2/en precomputed with
                 the same jnp expressions triangle_distances traces, so
                 values are identical)
+      box_tab   [B, 6] SMEM    lo(3) hi(3) (the branchless-slab stream;
+                boxes are BSDF-only emitters so they never enter the
+                light table)
       light_tab [L, 15] SMEM   kind, global prim idx, emission(3),
                 center|v0(3), radius(1; tri rows recompute area
                 per-lane like _tri_area_sample), e1(3), e2(3)
@@ -1183,6 +1302,7 @@ def _nee_scene_tables(scene: Scene, light_idx):
     P = scene.spheres.count
     M = scene.planes.count
     T = scene.triangles.count
+    Bx = scene.boxes.count
     L = len(light_idx)
     pos = scene.spheres.pos
     radius = scene.spheres.radius
@@ -1238,7 +1358,28 @@ def _nee_scene_tables(scene: Scene, light_idx):
         )  # [T, 10]
     else:
         tri_tab = jnp.zeros((1, 10), jnp.float32)
-    gatT = jnp.concatenate(gat_cols, axis=-1)  # [16, P+T]
+    if Bx:
+        bxs = scene.boxes
+        bm = bxs.material
+        gat_cols.append(
+            jnp.concatenate(
+                [
+                    bm.color.T,
+                    bm.illuminance[None, :],
+                    bxs.lo.T,                     # aux = lo corner
+                    bm.brdf_param[None, :],
+                    bm.brdf_kind.astype(jnp.float32)[None, :],
+                    jnp.zeros((1, Bx), jnp.float32),
+                    bxs.hi.T,                     # rows 10-12 = hi corner
+                    jnp.zeros((3, Bx), jnp.float32),
+                ],
+                axis=0,
+            )
+        )
+        box_tab = jnp.concatenate([bxs.lo, bxs.hi], axis=-1)  # [B, 6]
+    else:
+        box_tab = jnp.zeros((1, 6), jnp.float32)
+    gatT = jnp.concatenate(gat_cols, axis=-1)  # [16, P+T+B]
 
     if M:
         pm = scene.planes.material
@@ -1278,7 +1419,7 @@ def _nee_scene_tables(scene: Scene, light_idx):
                 k = int(i) - P
                 tr = scene.triangles
                 tm = tr.material
-                gidx = P + M + k  # global prim index space
+                gidx = P + M + Bx + k  # global prim index space
                 rows.append(
                     jnp.concatenate(
                         [
@@ -1295,15 +1436,16 @@ def _nee_scene_tables(scene: Scene, light_idx):
         light_tab = jnp.stack(rows)  # [L, 15]
     else:
         light_tab = jnp.zeros((1, 15), jnp.float32)
-    return geom, gatT, plane_tab, tri_tab, light_tab
+    return geom, gatT, plane_tab, tri_tab, box_tab, light_tab
 
 
 def _trace_nee_from_tables(
-    geom, gatT, plane_tab, tri_tab, light_tab, ray_o, ray_d, rng_state,
-    *, num_spheres, num_planes, num_tris, num_lights, has_glossy,
-    has_diel, num_bounces, spp, block_r=DEFAULT_BLOCK_R, interpret=False,
-    block_skip=True, unroll=32, presort=None, regenerate=None,
-    telemetry=False, grad_residuals=False,
+    geom, gatT, plane_tab, tri_tab, box_tab, light_tab, ray_o, ray_d,
+    rng_state,
+    *, num_spheres, num_planes, num_tris, num_boxes, num_lights,
+    has_glossy, has_diel, num_bounces, spp, block_r=DEFAULT_BLOCK_R,
+    interpret=False, block_skip=True, unroll=32, presort=None,
+    regenerate=None, telemetry=False, grad_residuals=False,
 ):
     """The fused NEE trace at the table level (everything after the scene
     packing of `trace_physical_nee_pallas`).  With `telemetry` (requires
@@ -1314,6 +1456,7 @@ def _trace_nee_from_tables(
     n = int(np.prod(shape))
     P, M, L = num_spheres, num_planes, num_lights
     T = num_tris
+    Bx = num_boxes
     rays_origin, rays_direction = ray_o, ray_d
 
     # Rays are laid out [8, N/8]: 8 sublane groups x lane columns; a
@@ -1415,11 +1558,11 @@ def _trace_nee_from_tables(
         t0f, p0f = pl.pallas_call(
             functools.partial(
                 _primary_kernel, num_spheres=P, num_planes=M,
-                num_tris=T, unroll=unroll,
+                num_tris=T, num_boxes=Bx, unroll=unroll,
             ),
             grid=(blocks,),
             in_specs=[smem_spec(geom), smem_spec(plane_tab),
-                      smem_spec(tri_tab)]
+                      smem_spec(tri_tab), smem_spec(box_tab)]
             + [col_spec] * 6,
             out_specs=[col_spec] * 2,
             out_shape=[
@@ -1428,7 +1571,8 @@ def _trace_nee_from_tables(
             ],
             compiler_params=cparams,
             interpret=interpret,
-        )(geom, plane_tab, tri_tab, *[plane2d(f) for f in flat_ins[:6]])
+        )(geom, plane_tab, tri_tab, box_tab,
+          *[plane2d(f) for f in flat_ins[:6]])
         t0f = t0f.reshape(-1)[:n]
         p0f = p0f.reshape(-1)[:n]
         # Ascending primary depth; INFINITE (sky) sorts last; stable, so
@@ -1475,6 +1619,7 @@ def _trace_nee_from_tables(
         num_spheres=P,
         num_planes=M,
         num_tris=T,
+        num_boxes=Bx,
         num_lights=L,
         has_glossy=has_glossy,
         has_diel=has_diel,
@@ -1495,6 +1640,7 @@ def _trace_nee_from_tables(
             table_spec(gatT),
             smem_spec(plane_tab),
             smem_spec(tri_tab),
+            smem_spec(box_tab),
             smem_spec(light_tab),
         ]
         + [col_spec] * len(comp_ins),
@@ -1511,7 +1657,7 @@ def _trace_nee_from_tables(
         # inside the chip's physical VMEM.
         compiler_params=cparams,
         interpret=interpret,
-    )(geom, gatT, plane_tab, tri_tab, light_tab, *comp_ins)
+    )(geom, gatT, plane_tab, tri_tab, box_tab, light_tab, *comp_ins)
 
     if pos is not None:
         # Undo the presort: lane i's result sits at rank pos[i], whose

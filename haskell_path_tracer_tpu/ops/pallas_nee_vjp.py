@@ -898,8 +898,10 @@ def _make_nee_diff_fn(
                   rng_state):
         return _trace_nee_from_tables(
             _geom(gatT), gatT, plane_tab, tri_tab,
+            jnp.zeros((1, 6), jnp.float32),
             light_tab, ray_o, ray_d, rng_state,
-            num_spheres=P, num_planes=M, num_tris=T, num_lights=L,
+            num_spheres=P, num_planes=M, num_tris=T, num_boxes=0,
+            num_lights=L,
             has_glossy=has_glossy, has_diel=has_diel,
             num_bounces=num_bounces, spp=spp, block_r=block_r,
             interpret=interpret,
@@ -922,8 +924,10 @@ def _make_nee_diff_fn(
             # the plain forward on raster-order layouts (tested).
             rad, rng_out, gr = _trace_nee_from_tables(
                 _geom(gatT), gatT, plane_tab, tri_tab,
+                jnp.zeros((1, 6), jnp.float32),
                 light_tab, ray_o, ray_d, rng_state,
-                num_spheres=P, num_planes=M, num_tris=T, num_lights=L,
+                num_spheres=P, num_planes=M, num_tris=T, num_boxes=0,
+                num_lights=L,
                 has_glossy=has_glossy, has_diel=has_diel,
                 num_bounces=num_bounces, spp=spp, block_r=block_r,
                 interpret=interpret, grad_residuals=True,
@@ -995,8 +999,8 @@ def trace_physical_nee_pallas_diff(
     has_diel = kinds is None or BRDF_DIELECTRIC in kinds
 
     assert scene.boxes.count == 0, "boxes take diff/grad.py's XLA path"
-    geom, gatT, plane_tab, tri_tab, light_tab = _nee_scene_tables(
-        scene, light_idx
+    geom, gatT, plane_tab, tri_tab, _box_tab, light_tab = (
+        _nee_scene_tables(scene, light_idx)
     )
     P = scene.spheres.count
     shape = rng_state.shape[:-1]
@@ -1038,12 +1042,12 @@ def trace_physical_nee_pallas_diff(
     R = bwd_block_r
     t0f, _ = primary_probe(
         jax.lax.stop_gradient(geom), jax.lax.stop_gradient(plane_tab),
-        jax.lax.stop_gradient(tri_tab),
+        jax.lax.stop_gradient(tri_tab), jnp.zeros((1, 6), jnp.float32),
         jax.lax.stop_gradient(rays.origin),
         jax.lax.stop_gradient(rays.direction),
         num_spheres=P, num_planes=scene.planes.count,
-        num_tris=scene.triangles.count, block_r=bwd_block_r,
-        unroll=unroll, interpret=interpret,
+        num_tris=scene.triangles.count, num_boxes=0,
+        block_r=bwd_block_r, unroll=unroll, interpret=interpret,
     )
     g = jnp.argsort(t0f).astype(jnp.int32)  # ascending depth, sky last
     # rank(slot): the flat index the kernel's [8, cols] blocking reads

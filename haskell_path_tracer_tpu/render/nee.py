@@ -901,12 +901,11 @@ def render_batch_physical(
     from ..ops import pallas_nee as PN
 
     if fused is None:
-        # Round 5: triangle scenes route through the kernel too (MT fold
-        # + area lights); boxes remain the XLA loop's.
+        # Round 5: triangle AND box scenes route through the kernel too
+        # (MT fold + area lights; slab fold, BSDF-only emitters).
         fused = (
             nee
             and PN.supported_backend()
-            and not scene.boxes.count
             and 0 < scene.spheres.count < (1 << 24)
             and (
                 light_idx is not None

@@ -490,3 +490,50 @@ def test_fuzz_kernel_matches_xla_estimator(scene, seed, bounces):
         scene, rays, rng, num_bounces=bounces, spp=1, interpret=True
     )
     assert_lane_parity(rng_ref, rng_k, rad_ref, rad_k)
+
+
+def box_tri_scene():
+    """All four primitive kinds with three emitter classes: an NEE
+    sphere light, an NEE triangle area light, and an EMISSIVE BOX
+    (BSDF-only pickup — the estimator's `is_bsdf_only` rule)."""
+    from haskell_path_tracer_tpu.models.objects import make_boxes
+
+    s = make_spheres(
+        [[0.0, -1.0, -6.0], [2.5, 0.8, -7.0]], [1.6, 0.9],
+        make_materials([
+            ([0.8, 0.4, 0.3], 0.0, BRDF_MATTE, 1.0),
+            ([0.9, 0.8, 0.2], 12.0, BRDF_MATTE, 1.0),
+        ]),
+    )
+    p = make_planes(
+        [[0.0, -3.0, 0.0]], [[0.0, 1.0, 0.0]],
+        make_materials([([0.6, 0.6, 0.55], 0.0, BRDF_MATTE, 1.0)]),
+    )
+    b = make_boxes(
+        [[-3.0, -2.0, -7.5], [0.5, 2.0, -5.5]],
+        [[-1.5, 0.5, -6.0], [1.5, 3.0, -4.8]],
+        make_materials([
+            ([0.5, 0.7, 0.9], 0.0, BRDF_GLOSSY, 1.0),
+            ([1.0, 0.9, 0.7], 8.0, BRDF_MATTE, 1.0),
+        ]),
+    )
+    tr = make_triangles(
+        [[-1.0, 4.0, -7.0]], [[1.0, 4.0, -7.0]], [[0.0, 4.0, -5.0]],
+        make_materials([([1.0, 1.0, 0.9], 15.0, BRDF_MATTE, 1.0)]),
+    )
+    return Scene(spheres=s, planes=p, boxes=b, triangles=tr)
+
+
+def test_box_scene_matches():
+    """Round-5 box extension: slab-fold geometry + BSDF-only box
+    emitters in the fused NEE megakernel — lane-exact vs the XLA
+    estimator with bit-equal RNG on a scene with ALL FOUR kinds."""
+    scene = box_tri_scene()
+    assert scene_light_indices(scene) == (1, 2)
+    rad_ref, rng_ref, rad_k, rng_k = run_pair(
+        scene, Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0),
+        bounces=3, spp=2,
+    )
+    assert np.abs(rad_ref).max() > 0
+    np.testing.assert_array_equal(rng_ref, rng_k)
+    assert_lane_parity(rng_ref, rng_k, rad_ref, rad_k)
