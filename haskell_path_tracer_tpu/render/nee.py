@@ -889,7 +889,8 @@ def render_batch_physical(
 ) -> Accumulator:
     """`spp` physical/NEE samples in one on-device dispatch.
 
-    On TPU, sphere+plane NEE scenes route through the fused Pallas
+    On TPU, NEE scenes of all four primitive kinds route through the
+    fused Pallas
     megakernel (ops/pallas_nee.py): the whole spp x bounces loop —
     nearest-hit folds, shadow occlusion, BRDF + light sampling, payload
     gathers — runs in VMEM.  `light_idx` is the STATIC emissive-sphere
