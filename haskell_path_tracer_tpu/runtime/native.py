@@ -11,6 +11,9 @@ API mirrors the Python implementations it accelerates / cross-checks:
   * `render_inline` — the scalar C++ oracle of the reference's Inline
     algorithm; an independent implementation the JAX renderer is checked
     against (tests/test_native.py).
+  * `trace_physical_nee` — the scalar C++ oracle of the physical/NEE
+    estimator (round 5): the THIRD independent implementation of the
+    NEE family next to render/nee.py and parity/oracle_nee_np.py.
 
 `available()` is the capability gate: if g++ or zlib are missing the
 framework silently uses the pure-Python paths.
@@ -56,6 +59,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, _u8p, ctypes.c_int, ctypes.c_int,
     ]
     lib.ptru_write_png.restype = ctypes.c_int
+    lib.ptru_trace_physical_nee.argtypes = [
+        _f32p, _f32p,                          # spheres pos/rad
+        _f32p, _f32p,                          # planes pos/nor
+        _f32p, _f32p, _f32p,                   # tris v0/v1/v2
+        _f32p, _f32p, _i32p, _f32p,            # materials (s++p++t)
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _f32p, _f32p, _u32p, _f32p,            # rays o/d, rng, radiance
+        ctypes.c_int64, ctypes.c_int,
+    ]
     lib.ptru_render_inline.argtypes = [
         _f32p, _f32p, ctypes.c_int,            # spheres
         _f32p, _f32p, ctypes.c_int,            # planes
@@ -161,3 +173,46 @@ def render_inline(
         color_out, rng_out, n_threads,
     )
     return color_out, rng_out
+
+
+def trace_physical_nee(scene, ray_o, ray_d, rng_state, bounces: int):
+    """Scalar C++ oracle of `render/nee.py:trace_physical(nee=True,
+    fused=False)` under the shade-frame convention (spheres + planes +
+    triangles).  `ray_o`/`ray_d` are [..., 3] f32, `rng_state` [..., 4]
+    u32.  Returns (radiance [..., 3] f32, rng_out [..., 4] u32)."""
+    lib = _load()
+    assert lib is not None, _load_error
+    assert scene.boxes.count == 0, "NEE oracle covers spheres+planes+tris"
+    shape = np.asarray(ray_o).shape[:-1]
+    n = int(np.prod(shape))
+    f = lambda a: np.ascontiguousarray(np.asarray(a, np.float32))
+    ns, npl, nt = scene.spheres.count, scene.planes.count, \
+        scene.triangles.count
+    cat = lambda field: np.concatenate([
+        np.asarray(getattr(scene.spheres.material, field)),
+        np.asarray(getattr(scene.planes.material, field)),
+        np.asarray(getattr(scene.triangles.material, field)),
+    ])
+    color = f(cat("color").reshape(-1, 3))
+    illum = f(cat("illuminance").reshape(-1))
+    kind = np.ascontiguousarray(cat("brdf_kind").astype(np.int32))
+    param = f(cat("brdf_param").reshape(-1))
+    rng = np.ascontiguousarray(
+        np.asarray(rng_state, np.uint32).reshape(n, 4)
+    ).copy()
+    rad = np.zeros((n, 3), np.float32)
+    one3 = np.zeros((1, 3), np.float32)
+    lib.ptru_trace_physical_nee(
+        f(scene.spheres.pos.reshape(-1, 3)),
+        f(np.asarray(scene.spheres.radius).reshape(-1)),
+        f(scene.planes.pos.reshape(-1, 3)) if npl else one3,
+        f(scene.planes.normal.reshape(-1, 3)) if npl else one3,
+        f(scene.triangles.v0.reshape(-1, 3)) if nt else one3,
+        f(scene.triangles.v1.reshape(-1, 3)) if nt else one3,
+        f(scene.triangles.v2.reshape(-1, 3)) if nt else one3,
+        color, illum, kind, param, ns, npl, nt,
+        f(np.asarray(ray_o).reshape(n, 3)),
+        f(np.asarray(ray_d).reshape(n, 3)),
+        rng, rad, n, bounces,
+    )
+    return rad.reshape(*shape, 3), rng.reshape(*shape, 4)

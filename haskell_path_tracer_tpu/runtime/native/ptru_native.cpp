@@ -360,3 +360,328 @@ extern "C" void ptru_render_inline(const float *s_pos, const float *s_rad, int n
   for (auto &t : ts) t.join();
 }
 
+
+// ===========================================================================
+// Physical/NEE estimator oracle (round 5): scalar float32 twin of
+// render/nee.py:trace_physical(nee=True, fused=False) under the
+// shade-frame convention — the third independent implementation of the
+// NEE family next to the JAX estimator and the numpy oracle
+// (parity/oracle_nee_np.py).  Spheres + planes + triangles; corrected
+// BRDFs (Lambert cosine, mirror glossy, Fresnel glass), cone/area light
+// sampling with the robust one-minus forms, any-occluder shadow window.
+// ===========================================================================
+
+struct NeeScene {
+  const float *s_pos;   // [ns, 3]
+  const float *s_rad;   // [ns]
+  const float *p_pos;   // [np, 3]
+  const float *p_nor;   // [np, 3]
+  const float *t_v0;    // [nt, 3]
+  const float *t_v1;    // [nt, 3]
+  const float *t_v2;    // [nt, 3]
+  const float *color;   // [ns+np+nt, 3] (spheres, planes, tris)
+  const float *illum;   // [ns+np+nt]
+  const int32_t *kind;  // [ns+np+nt]
+  const float *param;   // [ns+np+nt]
+  int ns, np, nt;
+};
+
+static inline V3 row3(const float *a, int i) {
+  return {a[3 * i], a[3 * i + 1], a[3 * i + 2]};
+}
+
+// Shade-frame nearest hit: sphere_distances' clamp form with the
+// `reject_below` acceptance floor; one-sided planes; one-sided
+// Moller-Trumbore triangles with the area-scaled front-face cull.
+static HitInfo nee_nearest(const NeeScene &S, V3 o, V3 d, float rej) {
+  float best_t = kInfinite;
+  int best = -1;
+  for (int i = 0; i < S.ns; ++i) {
+    V3 l = row3(S.s_pos, i) - o;
+    float tca = dot(l, d);
+    float d2 = dot(l, l) - tca * tca;
+    float r2 = S.s_rad[i] * S.s_rad[i];
+    if (tca < rej || d2 > r2) continue;
+    float t = tca - sqrtf(fmaxf(r2 - d2, 1e-12f));
+    if (t < rej) continue;
+    if (t < best_t) { best_t = t; best = i; }
+  }
+  for (int i = 0; i < S.np; ++i) {
+    V3 n = row3(S.p_nor, i);
+    float denom = dot(d, n);
+    float num = dot(row3(S.p_pos, i) - o, n);
+    float dist = num / (denom == 0.0f ? 5e-7f : denom);
+    if (denom > 1e-6f || dist < rej) continue;
+    if (dist < best_t) { best_t = dist; best = S.ns + i; }
+  }
+  for (int i = 0; i < S.nt; ++i) {
+    V3 v0 = row3(S.t_v0, i);
+    V3 e1 = row3(S.t_v1, i) - v0;
+    V3 e2 = row3(S.t_v2, i) - v0;
+    V3 pv = cross(d, e2);
+    float det = dot(e1, pv);
+    float nn = sqrtf(dot(cross(e1, e2), cross(e1, e2)));
+    if (det <= 1e-6f * nn) continue;
+    float inv_det = 1.0f / (fabsf(det) < 1e-30f ? 1e-30f : det);
+    V3 tv = o - v0;
+    float u = dot(tv, pv) * inv_det;
+    V3 qv = cross(tv, e1);
+    float v = dot(d, qv) * inv_det;
+    float t = dot(e2, qv) * inv_det;
+    if (u < 0.0f || v < 0.0f || u + v > 1.0f || t < rej) continue;
+    if (t < best_t) { best_t = t; best = S.ns + S.np + i; }
+  }
+  HitInfo h;
+  h.hit = best >= 0;
+  h.prim = h.hit ? best : 0;
+  h.point = o + d * (h.hit ? best_t : 0.0f);
+  if (!h.hit) { h.normal = {0, 0, 0}; return h; }
+  if (best < S.ns) {
+    h.normal = normalize(h.point - row3(S.s_pos, best));
+  } else if (best < S.ns + S.np) {
+    h.normal = row3(S.p_nor, best - S.ns);
+  } else {
+    int k = best - S.ns - S.np;
+    V3 n = cross(row3(S.t_v1, k) - row3(S.t_v0, k),
+                 row3(S.t_v2, k) - row3(S.t_v0, k));
+    float nn = fmaxf(sqrtf(dot(n, n)), 1e-20f);
+    h.normal = n * (1.0f / nn);
+  }
+  return h;
+}
+
+// Duff et al. branchless ONB.
+static inline void nee_onb(V3 w, V3 *b1, V3 *b2) {
+  float sign = w.z >= 0.0f ? 1.0f : -1.0f;
+  float a = -1.0f / (sign + w.z);
+  float b = w.x * w.y * a;
+  *b1 = {1.0f + sign * w.x * w.x * a, sign * b, -sign * w.x};
+  *b2 = {b, sign + w.y * w.y * a, -w.y};
+}
+
+static inline float u01(uint32_t *rng) {
+  return (float)(sfc32_step(rng) >> 8) * (1.0f / 16777216.0f);
+}
+
+extern "C" void ptru_trace_physical_nee(
+    const float *s_pos, const float *s_rad, const float *p_pos,
+    const float *p_nor, const float *t_v0, const float *t_v1,
+    const float *t_v2, const float *color, const float *illum,
+    const int32_t *kind, const float *param, int ns, int np, int nt,
+    const float *ray_o, const float *ray_d, uint32_t *rng_io,
+    float *radiance, int64_t n, int bounces) {
+  NeeScene S = {s_pos, s_rad, p_pos, p_nor, t_v0, t_v1, t_v2,
+                color, illum, kind, param, ns, np, nt};
+  // NEE-sampled emitter list: spheres ++ triangles with illum > 0.
+  int n_lights = 0;
+  int *lights = new int[ns + nt > 0 ? ns + nt : 1];
+  for (int i = 0; i < ns; ++i)
+    if (illum[i] > 0.0f) lights[n_lights++] = i;
+  for (int i = 0; i < nt; ++i)
+    if (illum[ns + np + i] > 0.0f) lights[n_lights++] = ns + i;
+
+  for (int64_t lane = 0; lane < n; ++lane) {
+    V3 o = row3(ray_o, (int)lane);
+    V3 d = row3(ray_d, (int)lane);
+    uint32_t rng[4] = {rng_io[4 * lane], rng_io[4 * lane + 1],
+                       rng_io[4 * lane + 2], rng_io[4 * lane + 3]};
+    V3 result = {0, 0, 0};
+    V3 thpt = {1, 1, 1};
+    bool prev_spec = true;
+    HitInfo h = nee_nearest(S, o, d, 0.0f);
+    for (int bnc = 0; bnc < bounces; ++bnc) {
+      if (dot(thpt, thpt) <= 1e-6f || !h.hit) break;
+      int pr = h.prim;
+      V3 col = row3(S.color, pr);
+      float il = S.illum[pr];
+      bool is_plane = pr >= ns && pr < ns + np;  // BSDF-only emitter
+      if (prev_spec || is_plane)
+        result = result + col * thpt * il;
+
+      // BRDF sampling: 3 draws (gen_vec order), corrected lobes.
+      float u1 = u01(rng), u2 = u01(rng), u3 = u01(rng);
+      int kd = S.kind[pr];
+      V3 nd;
+      if (kd == 1) {  // glossy mirror
+        nd = d - h.normal * (2.0f * dot(d, h.normal));
+      } else if (kd == 2) {  // dielectric (Schlick / TIR), branch by u3
+        float ior = S.param[pr];
+        float ci = -dot(d, h.normal);
+        bool inside = ci < 0.0f;
+        V3 fn = inside ? h.normal * -1.0f : h.normal;
+        float aci = fabsf(ci);
+        float eta = inside ? ior : 1.0f / ior;
+        float sin2 = eta * eta * fmaxf(1.0f - aci * aci, 0.0f);
+        bool tir = sin2 > 1.0f;
+        float ct = tir ? 0.0f : sqrtf(fmaxf(1.0f - sin2, 1e-12f));
+        float r0 = (1.0f - ior) / (1.0f + ior);
+        r0 = r0 * r0;
+        float om = 1.0f - aci;
+        float fres = r0 + (1.0f - r0) * om * om * om * om * om;
+        float f_refl = tir ? 1.0f : fres;
+        if (u3 < f_refl) {
+          nd = d - fn * (2.0f * dot(d, fn));
+        } else {
+          V3 tr = d * eta + fn * (eta * aci - ct);
+          float tq = fmaxf(sqrtf(dot(tr, tr)), 1e-20f);
+          nd = tr * (1.0f / tq);
+        }
+      } else {  // matte: cosine hemisphere about the normal
+        float r = sqrtf(u1);
+        float phi = 2.0f * kPi * u2;
+        float z = sqrtf(fmaxf(1.0f - u1, 1e-12f));
+        V3 b1, b2;
+        nee_onb(h.normal, &b1, &b2);
+        nd = b1 * (r * cosf(phi)) + b2 * (r * sinf(phi)) + h.normal * z;
+      }
+      bool is_spec = kd == 1 || kd == 2;
+
+      // NEE: 3 light draws; uniform emitter pick; cone/area sample.
+      float us0 = u01(rng), us1 = u01(rng), us2 = u01(rng);
+      if (n_lights > 0 && kd == 0) {
+        int li = (int)floorf(us0 * (float)n_lights);
+        if (li > n_lights - 1) li = n_lights - 1;
+        if (li < 0) li = 0;
+        int lid = lights[li];
+        V3 ldir;
+        float inv_pdf_dir;
+        float t_l = kInfinite;
+        int l_prim;
+        if (lid < ns) {  // sphere light: robust cone sample
+          V3 c = row3(S.s_pos, lid);
+          float rad = S.s_rad[lid];
+          V3 to_c = c - h.point;
+          float dc2 = dot(to_c, to_c);
+          float dc = sqrtf(fmaxf(dc2, 1e-12f));
+          float sin2m = rad * rad / fmaxf(dc2, 1e-12f);
+          if (sin2m > 1.0f) sin2m = 1.0f;
+          bool on = sin2m >= 1.0f;
+          float cm = on ? 0.0f : sqrtf(1.0f - sin2m);
+          float omc = on ? 1.0f : sin2m / (1.0f + cm);
+          float x = us1 * omc;
+          float ctt = 1.0f - x;
+          float st2 = x * (1.0f + ctt);
+          float stt = st2 > 0.0f ? sqrtf(st2) : 0.0f;
+          float phi = 2.0f * kPi * us2;
+          V3 w = to_c * (1.0f / dc);
+          V3 b1, b2;
+          nee_onb(w, &b1, &b2);
+          ldir = b1 * (stt * cosf(phi)) + b2 * (stt * sinf(phi)) + w * ctt;
+          inv_pdf_dir = 2.0f * kPi * omc;
+          l_prim = lid;
+          // distance to the light along ldir (shade-frame accept)
+          V3 l = c - h.point;
+          float tca = dot(l, ldir);
+          float d2 = dot(l, l) - tca * tca;
+          float r2 = rad * rad;
+          if (!(tca < kEpsilon || d2 > r2)) {
+            float tt = tca - sqrtf(fmaxf(r2 - d2, 1e-12f));
+            if (tt >= kEpsilon) t_l = tt;
+          }
+        } else {  // triangle light: uniform area sample
+          int tk = lid - ns;
+          V3 v0 = row3(S.t_v0, tk);
+          V3 e1 = row3(S.t_v1, tk) - v0;
+          V3 e2 = row3(S.t_v2, tk) - v0;
+          V3 nvec = cross(e1, e2);
+          float nn = fmaxf(sqrtf(dot(nvec, nvec)), 1e-20f);
+          V3 nu = nvec * (1.0f / nn);
+          float area = 0.5f * nn;
+          float r1s = sqrtf(fmaxf(us1, 1e-12f));
+          float bu = 1.0f - r1s, bv = us2 * r1s;
+          V3 q = v0 + e1 * bu + e2 * bv;
+          V3 to_q = q - h.point;
+          float d2q = fmaxf(dot(to_q, to_q), 1e-12f);
+          ldir = to_q * (1.0f / sqrtf(d2q));
+          float cos_l = -dot(ldir, nu);
+          float min_d2 = (2.0f * kEpsilon) * (2.0f * kEpsilon);
+          inv_pdf_dir =
+              (cos_l > 1e-6f && d2q >= min_d2) ? area * cos_l / d2q : 0.0f;
+          l_prim = ns + np + tk;
+          // MT distance to THIS triangle with the eps floor
+          V3 pv = cross(ldir, e2);
+          float det = dot(e1, pv);
+          if (det > 1e-6f * nn) {
+            float inv_det = 1.0f / (fabsf(det) < 1e-30f ? 1e-30f : det);
+            V3 tv = h.point - v0;
+            float uu = dot(tv, pv) * inv_det;
+            V3 qv = cross(tv, e1);
+            float vv = dot(ldir, qv) * inv_det;
+            float tt = dot(e2, qv) * inv_det;
+            if (uu >= 0.0f && vv >= 0.0f && uu + vv <= 1.0f &&
+                tt >= kEpsilon)
+              t_l = tt;
+          }
+        }
+        float inv_pdf =
+            inv_pdf_dir > 1e-9f ? inv_pdf_dir * (float)n_lights : 0.0f;
+        // Any-occluder window [eps, t_l): sqrt-free spheres, planes,
+        // triangles (ops/intersect.py:shadow_occluded).
+        bool occ = false;
+        if (t_l < kInfinite && inv_pdf > 0.0f) {
+          for (int i = 0; i < ns && !occ; ++i) {
+            if (i == l_prim) continue;
+            V3 l = row3(S.s_pos, i) - h.point;
+            float ll = dot(l, l);
+            float tca = dot(l, ldir);
+            float r2 = S.s_rad[i] * S.s_rad[i];
+            float hh = r2 - (ll - tca * tca);
+            float a1 = tca - kEpsilon, a2 = tca - t_l;
+            if (hh >= 0.0f && a1 >= 0.0f && a1 * a1 >= hh &&
+                (a2 < 0.0f || a2 * a2 < hh))
+              occ = true;
+          }
+          for (int i = 0; i < np && !occ; ++i) {
+            V3 nrm = row3(S.p_nor, i);
+            float denom = dot(ldir, nrm);
+            float num = dot(row3(S.p_pos, i) - h.point, nrm);
+            float dist = num / (denom == 0.0f ? 5e-7f : denom);
+            if (denom <= 1e-6f && dist >= kEpsilon && dist < t_l)
+              occ = true;
+          }
+          for (int i = 0; i < nt && !occ; ++i) {
+            if (ns + np + i == l_prim) continue;
+            V3 v0 = row3(S.t_v0, i);
+            V3 e1 = row3(S.t_v1, i) - v0;
+            V3 e2 = row3(S.t_v2, i) - v0;
+            float nn = sqrtf(dot(cross(e1, e2), cross(e1, e2)));
+            V3 pv = cross(ldir, e2);
+            float det = dot(e1, pv);
+            if (det <= 1e-6f * nn) continue;
+            float inv_det = 1.0f / (fabsf(det) < 1e-30f ? 1e-30f : det);
+            V3 tv = h.point - v0;
+            float uu = dot(tv, pv) * inv_det;
+            V3 qv = cross(tv, e1);
+            float vv = dot(ldir, qv) * inv_det;
+            float tt = dot(e2, qv) * inv_det;
+            if (uu >= 0.0f && vv >= 0.0f && uu + vv <= 1.0f &&
+                tt >= kEpsilon && tt < t_l)
+              occ = true;
+          }
+        }
+        float cos_i = dot(ldir, h.normal);
+        if (!occ && t_l < kInfinite && cos_i > 0.0f && inv_pdf > 0.0f) {
+          V3 le = row3(S.color, lid < ns ? lid : ns + np + (lid - ns));
+          float lil = S.illum[lid < ns ? lid : ns + np + (lid - ns)];
+          V3 contrib = thpt * (col * (1.0f / kPi)) * le *
+                       (lil * cos_i * inv_pdf);
+          result = result + contrib;
+        }
+      }
+
+      thpt = thpt * col;
+      prev_spec = is_spec;
+      o = h.point;
+      d = nd;
+      h = nee_nearest(S, o, d, kEpsilon);
+    }
+    radiance[3 * lane] = result.x;
+    radiance[3 * lane + 1] = result.y;
+    radiance[3 * lane + 2] = result.z;
+    rng_io[4 * lane] = rng[0];
+    rng_io[4 * lane + 1] = rng[1];
+    rng_io[4 * lane + 2] = rng[2];
+    rng_io[4 * lane + 3] = rng[3];
+  }
+  delete[] lights;
+}

@@ -171,3 +171,44 @@ def test_save_render_uses_native(tmp_path):
     path = save_render(str(tmp_path / "x.png"), img)
     blob = open(path, "rb").read()
     assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_native_nee_oracle_matches_xla_estimator():
+    """Round 5: the scalar C++ NEE oracle (ptru_trace_physical_nee) —
+    the THIRD independent implementation of the physical/NEE estimator
+    — matches render/nee.py:trace_physical(nee=True, fused=False)
+    lane-for-lane with bit-equal RNG streams, on a triangle-area-light
+    scene and a sphere Cornell scene."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_pallas_nee import cornell8, tri_scene
+
+    from haskell_path_tracer_tpu.models.camera import primary_rays
+    from haskell_path_tracer_tpu.models.objects import Camera
+    from haskell_path_tracer_tpu.ops.rng import gen_seeds
+    from haskell_path_tracer_tpu.render.nee import trace_physical
+    from haskell_path_tracer_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip(f"native runtime unavailable: {native.load_error()}")
+    H, W = 16, 64
+    cam = Camera.create([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], 90.0)
+    for scene in (tri_scene(), cornell8()):
+        rng = gen_seeds((H, W), seed=9)
+        rays = primary_rays(cam, W, H)
+        rad_x, rng_x = trace_physical(
+            scene, rays, rng, num_bounces=3, nee=True, fused=False
+        )
+        rad_c, rng_c = native.trace_physical_nee(
+            scene, np.asarray(rays.origin), np.asarray(rays.direction),
+            np.asarray(rng), 3,
+        )
+        rng_x, rad_x = np.asarray(rng_x), np.asarray(rad_x)
+        m = (rng_x == rng_c).all(-1)
+        assert m.mean() >= 0.995, m.mean()
+        bad = (
+            np.abs(rad_c - rad_x) > (1e-3 + 2e-3 * np.abs(rad_x))
+        ).any(-1)
+        assert (bad & m).mean() <= 0.005
+        assert np.abs(rad_x).max() > 0
